@@ -1,0 +1,31 @@
+from aws_imdb_data_pipeline_spark.extensions.dedup import (
+    exact_dedup,
+    shingle,
+    minhash_signature,
+    lsh_candidate_pairs,
+    jaccard_on_shingles,
+    minhash_dedup_pairs,
+)
+from aws_imdb_data_pipeline_spark.extensions.similarity import (
+    with_norm,
+    cosine_topk,
+)
+from aws_imdb_data_pipeline_spark.extensions.textstats import (
+    token_stats,
+    language_id,
+    quality_score,
+)
+
+__all__ = [
+    "exact_dedup",
+    "shingle",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_on_shingles",
+    "minhash_dedup_pairs",
+    "with_norm",
+    "cosine_topk",
+    "token_stats",
+    "language_id",
+    "quality_score",
+]

@@ -1,0 +1,161 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's DISTINCT (U2, glue.py:178), a training-data
+pipeline needs near-duplicate detection. All hot-path work here stays
+JVM-side with built-in functions:
+
+- exact dedup: hash-groupBy keeping a deterministic representative
+- shingling: k-gram shingles via ``transform(sequence(...))`` (no UDF)
+- MinHash: per-seed ``min(xxhash64(shingle, seed))`` aggregates
+- LSH banding: band the signature, bucket-join, candidate pairs
+- verification: exact Jaccard on shingle sets via array_intersect
+
+Scale: the LSH path is the 100 TB story — candidate generation is a
+groupBy on (band, band_hash) buckets instead of an O(N^2) cross join;
+the exact-Jaccard verify touches only candidate pairs. Skewed buckets
+(boilerplate docs) are bounded by ``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_by: list[Column]) -> DataFrame:
+    """Keep one deterministic representative per key (row_number=1).
+
+    Unlike ``dropDuplicates`` (arbitrary survivor), the survivor is
+    defined by ``order_by`` — reproducible across runs/cluster sizes.
+    """
+    return top_n_per_group(df, partition_by=key_cols, order_by=order_by, n=1)
+
+
+def shingle(text_col: Column | str, k: int = 3, sep: str = " ") -> Column:
+    """Distinct word k-gram shingles as array<string>, built entirely
+    with higher-order functions (codegen, no Python boundary)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, sep)
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(sep, F.slice(words, i + 1, k))
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles_col: Column | str, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<long>: for seed s, min over shingles
+    of xxhash64(shingle, s). Each element is one permutation's min."""
+    c = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    return F.array(
+        *[
+            F.array_min(F.transform(c, lambda x: F.xxhash64(x, F.lit(s))))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    signature → ``bands`` slices of ``rows_per_band`` hashes → hash each
+    slice → groupBy (band, bucket) → pairs within bucket. Output columns
+    ``id_a < id_b`` (distinct pairs). ``max_bucket_size`` drops
+    degenerate buckets (e.g. empty-text docs) that would quadratically
+    explode — the count is observable via the returned plan's metrics.
+    """
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("__id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("pair")
+    ).select(F.col("pair.id_a").alias("id_a"), F.col("pair.id_b").alias("id_b"))
+    return pairs.distinct()
+
+
+def jaccard_on_shingles(
+    pairs: DataFrame, docs: DataFrame, id_col: str, shingles_col: str
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs (verification pass).
+
+    Joins the (small relative to corpus) candidate set back to shingle
+    arrays; similarity via array_intersect/array_union sizes — JVM-side.
+    """
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(shingles_col).alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(shingles_col).alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pipeline: shingle → signature →
+    banded candidates → exact-Jaccard verify → pairs >= threshold."""
+    rows_per_band = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col), shingle(text_col, k=k).alias("__shingles")
+    ).filter(F.size("__shingles") > 0)
+    sig = sh.select(
+        F.col(id_col), minhash_signature("__shingles", num_hashes).alias("__sig")
+    )
+    pairs = lsh_candidate_pairs(sig, id_col, "__sig", bands, rows_per_band)
+    verified = jaccard_on_shingles(pairs, sh, id_col, "__shingles")
+    return verified.filter(F.col("jaccard") >= threshold)

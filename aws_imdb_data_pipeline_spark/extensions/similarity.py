@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, with the math
+done entirely in built-in higher-order functions (zip_with/aggregate
+— JVM-side, codegen'd; no Python worker in the loop):
+
+    dot(a, b)  = aggregate(zip_with(a, b, *), 0.0, +)
+    norm(a)    = sqrt(aggregate(a, 0.0, acc + x*x))
+
+Scale story: the query side is broadcast (k queries x dim floats is
+tiny); the candidate scan is embarrassingly parallel, and per-query
+top-k is a window over the (queries x candidates) product — fine for
+O(10^2) queries. For all-pairs / large query sets, use the LSH variant
+(`random_hyperplane_buckets`): sign-of-projection bucketing against
+fixed seeded hyperplanes restricts comparisons to matching buckets —
+the same banding idea as MinHash-LSH but for cosine space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+
+
+def _to_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
+    """Add the L2 norm of ``vec_col`` (computed in double precision)."""
+    v = _to_double(vec_col)
+    return df.withColumn(out_col, F.sqrt(_dot(v, v)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    include_self: bool = False,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query row, the k most similar
+    candidate rows. Output: (query_id, neighbor_id, cosine).
+
+    The query set is broadcast; candidates stream through one stage.
+    ``round_to`` quantizes the score so results are stable across
+    engines/summation orders (used by the oracle comparison).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("q_vec")
+    )
+    q = q.withColumn("q_norm", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(vec_col).alias("c_vec")
+    )
+    c = c.withColumn("c_norm", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    return top_n_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.col("neighbor_id")],
+        n=k,
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Sign-LSH bucket id: bit i = (v . plane_i) > 0, planes drawn from
+    a seeded RNG and embedded as literals (deterministic everywhere).
+
+    Vectors in the same bucket are likely cosine-similar; restrict
+    expensive pairwise work to within-bucket groups. n_planes=16 →
+    65536 buckets; tune to corpus size so buckets stay O(100) rows.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    v = _to_double(vec_col)
+    bits = []
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bits.append(
+            F.when(_dot(v, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn(out_col, bucket.cast("long"))

@@ -1,0 +1,101 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword-overlap heuristic), quality scoring, token
+counting, and document fingerprinting — all built-in functions (split/
+size/array_intersect/xxhash64), no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+# Real deployments would load fuller lists; the operator shape is the same.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "est"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "ist"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+
+def _words(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, char count, distinct-token count, and
+    mean token length per document — one narrow projection, no shuffle."""
+    words = _words(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(words),
+            "n_chars_measured": F.length(F.col(text_col)),
+            "n_distinct_tokens": F.size(F.array_distinct(words)),
+            "avg_token_len": F.round(
+                F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                / F.size(words),
+                4,
+            ),
+        }
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: the language whose stopword set overlaps
+    the document's token set most (ties → lexicographic min language).
+    Pure array ops; scales linearly, no shuffle."""
+    words = F.array_distinct(_words(text_col))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        words, F.array(*[F.lit(w) for w in sw])
+                    )
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(STOPWORDS.items())
+        ]
+    )
+    # max by (score, reversed-lang) == first of sort desc by score, asc lang
+    best = F.sort_array(scores, asc=False)[0]
+    return df.withColumn(
+        out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality heuristics: length band, repetition
+    ratio (1 - distinct/total tokens), alpha ratio. Higher is better."""
+    words = _words(text_col)
+    n = F.size(words)
+    rep = F.lit(1.0) - F.size(F.array_distinct(words)) / n
+    alpha_ratio = F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")
+    ) / F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    score = (
+        F.when(n < 5, 0.2).when(n > 1000, 0.5).otherwise(1.0)
+        * (F.lit(1.0) - F.least(rep, F.lit(1.0)) * 0.5)
+        * (F.lit(0.5) + alpha_ratio * 0.5)
+    )
+    return df.withColumns(
+        {
+            "repetition_ratio": F.round(rep, 4),
+            "alpha_ratio": F.round(alpha_ratio, 4),
+            "quality": F.round(score, 4),
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp64") -> DataFrame:
+    """64-bit content fingerprint: xxhash64 over the normalized text
+    (collapse whitespace, lowercase). Exact-dup detection key."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn(out_col, F.xxhash64(norm))

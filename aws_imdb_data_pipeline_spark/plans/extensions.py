@@ -1,0 +1,215 @@
+"""Training-data extension queries: dedup, text analysis, similarity
+search — registered with SQL oracles wherever the computation is
+engine-independent (everything except hash-seeded LSH internals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.extensions.dedup import minhash_dedup_pairs
+from aws_imdb_data_pipeline_spark.extensions.similarity import cosine_topk
+from aws_imdb_data_pipeline_spark.extensions.textstats import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    operators=("U2", "EXT-dedup"),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the text hash, deterministic survivor
+    (min doc_id). At 100 TB, group on a 64-bit fingerprint of the text
+    instead of the full text to keep shuffle rows narrow."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("doc_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
+           CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INTEGER)
+               AS n_distinct_tokens,
+           ROUND(length(regexp_replace(text, '\s+', '', 'g'))
+                 / len(string_split_regex(text, '\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+    operators=("EXT-text", "F1", "F8"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-doc stats — narrow projection,
+    zero shuffle, scales linearly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_stats(docs).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Language ID heuristic
+# ---------------------------------------------------------------------------
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_intersect(list_distinct(string_split_regex(text, '\\s+')), "
+        f"[{words}]))"
+    )
+
+
+@register(
+    "lang_id_documents",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('zh')} AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'unknown'
+                WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM scored
+    """,
+    operators=("EXT-text",),
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (ties break to the later language
+    in sort order — mirrored exactly in the oracle CASE chain)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return language_id(docs).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+@register(
+    "quality_scores",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split_regex(text, '\s+')) AS n,
+               len(list_distinct(string_split_regex(text, '\s+'))) AS nd,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(regexp_replace(text, '\s+', '', 'g')) AS nonspace_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(1.0 - nd / n, 4) AS repetition_ratio,
+           ROUND(alpha_chars / nonspace_chars, 4) AS alpha_ratio,
+           ROUND((CASE WHEN n < 5 THEN 0.2 WHEN n > 1000 THEN 0.5 ELSE 1.0 END)
+                 * (1.0 - least(1.0 - nd / n, 1.0) * 0.5)
+                 * (0.5 + (alpha_chars / nonspace_chars) * 0.5), 4) AS quality
+    FROM base
+    """,
+    operators=("EXT-text", "P9"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristics per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score(docs).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (engine-hash-specific → rows-only check)
+# ---------------------------------------------------------------------------
+@register("fingerprint_documents", oracle=None, operators=("EXT-dedup", "F17"))
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit xxhash64 fingerprint of normalized text. Hash family is
+    Spark-specific, so no cross-engine oracle; the pytest suite asserts
+    fingerprint equality <=> normalized-text equality."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(docs).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs (hash-seeded → rows-only check)
+# ---------------------------------------------------------------------------
+@register("minhash_dedup_documents", oracle=None, operators=("EXT-dedup",))
+def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard >= 0.5 on
+    unigram shingles. LSH has false negatives by design → no SQL oracle;
+    tests assert zero false positives and recall vs brute force."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, id_col="doc_id", text_col="text", k=1, num_hashes=64, bands=16,
+        threshold=0.5,
+    ).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (ANN baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.x * c.x) AS dot
+        FROM (SELECT * FROM e WHERE vec_id < 5) q
+        JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dot / (nq.nrm * nc.nrm), 4) AS cosine
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    operators=("EXT-sim", "W2"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 5, computed
+    with built-in higher-order functions (zip_with/aggregate — JVM-side).
+    Scale path: broadcast query side; LSH bucketing for all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        queries=emb.filter(F.col("vec_id") < 5),
+        candidates=emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )

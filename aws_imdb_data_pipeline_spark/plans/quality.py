@@ -1,0 +1,75 @@
+"""Data-quality queries (SURVEY.md §2.9) bound to oracles.
+
+The exact-distinct profile is fully SQL-verifiable; the approx variant
+(HLL++, the reference's actual choice at glue.py:105-106) is registered
+without an oracle — the driver records a rows-only check, and the
+engine's own tests assert the approximation is within tolerance of the
+exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.quality.profile import dq_profile, dq_union
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+_ORDERS_PROFILE_ORACLE = """
+SELECT 'orders' AS dataset,
+       COUNT(*) AS row_count,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_o_custkey,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '\\N'
+                      OR length(trim(o_orderstatus)) = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS null_o_orderstatus,
+       MIN(o_totalprice) AS min_o_totalprice,
+       MAX(o_totalprice) AS max_o_totalprice,
+       COUNT(DISTINCT o_orderpriority) AS distinct_o_orderpriority
+FROM orders
+"""
+
+
+@register("dq_profile_orders", oracle=_ORDERS_PROFILE_ORACLE, operators=("Q1", "A6", "A7", "A9"))
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass DQ snapshot of orders (glue.py:67-114) with exact
+    distinct counts so it hash-matches the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return dq_profile(
+        orders,
+        dataset="orders",
+        null_cols=["o_custkey", "o_orderstatus"],
+        numeric_cols=["o_totalprice"],
+        distinct_cols=["o_orderpriority"],
+        exact_distinct=True,
+    )
+
+
+@register("dq_profile_union_approx", oracle=None, operators=("Q1", "Q2", "A8", "U1"))
+def dq_profile_union_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-faithful variant: approx_count_distinct (HLL++)
+    profiles for three datasets unioned by name (glue.py:320-355).
+    Approximate → no SQL oracle; rows-only check."""
+    profiles = [
+        dq_profile(
+            load_table(spark, sf_dir, "orders"),
+            dataset="orders",
+            null_cols=["o_custkey"],
+            numeric_cols=["o_totalprice"],
+            distinct_cols=["o_orderpriority", "o_orderstatus"],
+        ),
+        dq_profile(
+            load_table(spark, sf_dir, "lineitem"),
+            dataset="lineitem",
+            null_cols=["l_orderkey"],
+            numeric_cols=["l_quantity", "l_extendedprice"],
+            distinct_cols=["l_returnflag"],
+        ),
+        dq_profile(
+            load_table(spark, sf_dir, "customer"),
+            dataset="customer",
+            null_cols=["c_name"],
+            numeric_cols=["c_acctbal"],
+            distinct_cols=["c_mktsegment"],
+        ),
+    ]
+    return dq_union(profiles)

@@ -1,0 +1,602 @@
+"""Relational operator queries (SURVEY.md §2.2-§2.8) over the test lake.
+
+Each query re-expresses a reference operator pattern on the TPC-H-ish
+test tables, Spark-first: declarative DataFrame plans, broadcast hints
+for dimension joins, rounding of floating aggregates to 4 decimals on
+BOTH engine and oracle so cross-engine summation order can't flip the
+value hash.
+
+Reference citations use ``glue.py`` =
+glue_jobs/etl_movies_episodes_analytics_advanced.py and ``batch.py`` =
+airflow/dags/imdb_batch_pipeline.py, paths under /root/reference/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.functions.cleaning import banding
+from aws_imdb_data_pipeline_spark.operators.agg_patterns import ordered_collect_concat
+from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group, top_k_global
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, register_views
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A6, A7) — TPC-H Q1-shaped pricing summary
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)      AS avg_qty,
+           ROUND(AVG(l_discount), 4)      AS avg_disc,
+           COUNT(*)                       AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    operators=("A1", "A6", "A7"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate in one shuffle (glue.py:300-308 pattern).
+
+    Scale: partial aggregation (map-side combine) means the shuffle
+    carries one row per (group x task), not per input row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(_revenue()), 4).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inner join chain + agg + global top-k (J3, A2, O1) — TPC-H Q3-shaped
+# ---------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    operators=("J3", "A2", "O1", "P2"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → join chain → agg → top-k (docs/top_movies_by_rating.sql
+    shape). Customer side filtered before the join (manual pushdown the
+    reference practices, glue.py:122-133) and broadcast — at 100 TB the
+    fact-side shuffle is on o_orderkey only once for join+agg."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+    return top_k_global(joined, [F.desc("revenue"), F.col("o_orderkey")], 10)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: join + agg + top-n per group (J1, A1, W2) — the
+# marts_top_movies_by_genre.sql pattern transposed to parts/brands.
+# ---------------------------------------------------------------------------
+@register(
+    "top_parts_by_brand_revenue",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, revenue
+    FROM (
+        SELECT p_brand, p_partkey, p_name,
+               ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) DESC,
+                            p_partkey
+               ) AS rn
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey, p_name
+    ) WHERE rn <= 3
+    """,
+    operators=("J1", "A1", "W2", "O2"),
+)
+def top_parts_by_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by revenue — the reference's top-25-per-
+    (genre, decade) window pattern (marts_top_movies_by_genre.sql:3-19).
+
+    part is a dimension → broadcast join, no shuffle on the fact side
+    for the join; one shuffle for the groupBy, window runs on the
+    (small) aggregated set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+    )
+    return top_n_per_group(
+        rev,
+        partition_by=["p_brand"],
+        order_by=[F.desc("revenue"), F.col("p_partkey")],
+        n=3,
+    ).select("p_brand", "p_partkey", "p_name", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# Window row_number per key (W1) — cast-cap pattern glue.py:154-155
+# ---------------------------------------------------------------------------
+@register(
+    "top_lines_per_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, CAST(rn AS INTEGER) AS qty_rank
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_quantity DESC, l_linenumber
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn <= 2
+    """,
+    operators=("W1", "O2"),
+)
+def top_lines_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number capped at 2 per order — the reference caps cast at 3
+    per title the same way (glue.py:154-155)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_quantity"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("qty_rank", F.row_number().over(w))
+        .filter(F.col("qty_rank") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unordered partition max (W3) — finale-flag pattern glue.py:255-257
+# ---------------------------------------------------------------------------
+@register(
+    "max_line_flag",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS max_qty_in_order,
+           CAST(CASE WHEN l_quantity = MAX(l_quantity) OVER (PARTITION BY l_orderkey)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_max_line
+    FROM lineitem
+    """,
+    operators=("W3",),
+)
+def max_line_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition analytic max with no orderBy (default unbounded
+    frame) → 0/1 flag, like the reference's isFinale = max episode per
+    (series, season) (glue.py:255-257)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    w = Window.partitionBy("l_orderkey")
+    return li.withColumn(
+        "max_qty_in_order", F.max("l_quantity").over(w)
+    ).withColumn(
+        "is_max_line",
+        (F.col("l_quantity") == F.col("max_qty_in_order")).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left join + COALESCE fallback (J1, P8)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_enriched",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COALESCE(c_name, 'UNKNOWN')       AS customer_name,
+           COALESCE(c_mktsegment, 'UNKNOWN') AS segment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    operators=("J1", "P1", "P8"),
+)
+def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join on a broadcast dimension with COALESCE fallback
+    (glue.py:136-140 join style; batch.py:259-273 fallback style)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("customer_name"),
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join on mismatched key names + drop (J2) through a snowflaked dim chain
+# ---------------------------------------------------------------------------
+@register(
+    "customers_per_region",
+    oracle="""
+    SELECT r_name AS region_name,
+           COUNT(*) AS customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    operators=("J2", "A1", "A2"),
+)
+def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-joins on differently-named keys with dup-key drop
+    (glue.py:181-182,216-226 pattern); both dims broadcast, so the
+    customer side never shuffles for the joins."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .drop("n_nationkey")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .drop("r_regionkey")
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral explode (J4, F1, F2) — genre-explode pattern glue.py:173
+# ---------------------------------------------------------------------------
+@register(
+    "part_name_tokens",
+    oracle="""
+    SELECT name_token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS name_token FROM part)
+    GROUP BY name_token
+    """,
+    operators=("J4", "F1", "F2", "A3"),
+)
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode + count — the reference explodes comma-separated
+    genres exactly this way (glue.py:173; docs/top_genre.sql:6)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("name_token"))
+        .groupBy("name_token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-aggregate cross join → latest slice (J5, A12, L1)
+# ---------------------------------------------------------------------------
+@register(
+    "latest_day_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    CROSS JOIN (SELECT MAX(o_orderdate) AS latest_date FROM orders)
+    WHERE o_orderdate = latest_date
+    """,
+    operators=("J5", "A12", "L1"),
+)
+def latest_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row max aggregate cross-joined then filtered — the reference's
+    latest-run-only view (marts_movie_facts_view.sql:9-16). Catalyst
+    broadcasts the 1-row side; on a partitioned lake the same filter on
+    run_date triggers dynamic partition pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = orders.agg(F.max("o_orderdate").alias("latest_date"))
+    return (
+        orders.crossJoin(F.broadcast(latest))
+        .filter(F.col("o_orderdate") == F.col("latest_date"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-join via double reference (J6)
+# ---------------------------------------------------------------------------
+@register(
+    "nation_pairs_same_region",
+    oracle="""
+    SELECT n1.n_regionkey AS regionkey, n1.n_name AS nation_a, n2.n_name AS nation_b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+    """,
+    operators=("J6",),
+)
+def nation_pairs_same_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same source joined twice under aliases (glue.py:215-238 joins
+    title_basics to itself as episode + parent-series metadata)."""
+    nation = load_table(spark, sf_dir, "nation")
+    n1, n2 = nation.alias("n1"), nation.alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_name") < F.col("n2.n_name")),
+    ).select(
+        F.col("n1.n_regionkey").alias("regionkey"),
+        F.col("n1.n_name").alias("nation_a"),
+        F.col("n2.n_name").alias("nation_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT (U2)
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_segments_by_nation",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    operators=("U2",),
+)
+def distinct_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = shuffle on all projected cols (glue.py:178 pattern);
+    project FIRST so the shuffle carries only the two columns."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# unionByName with missing columns (U1, A7)
+# ---------------------------------------------------------------------------
+@register(
+    "profile_union",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'orders' AS dataset, COUNT(*) AS row_count,
+               ROUND(SUM(o_totalprice), 4) AS sum_totalprice
+        FROM orders
+    )
+    UNION ALL BY NAME
+    SELECT * FROM (
+        SELECT 'lineitem' AS dataset, COUNT(*) AS row_count,
+               ROUND(SUM(l_quantity), 4) AS sum_quantity
+        FROM lineitem
+    )
+    """,
+    operators=("U1", "A7"),
+)
+def profile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of differently-shaped one-row profiles, missing columns →
+    NULL — exactly the reference's DQ union sink (glue.py:347-350)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p1 = orders.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_totalprice"),
+    ).select(F.lit("orders").alias("dataset"), "*")
+    p2 = li.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_quantity"),
+    ).select(F.lit("lineitem").alias("dataset"), "*")
+    return p1.unionByName(p2, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Global top-k + CASE banding (O1, P9)
+# ---------------------------------------------------------------------------
+@register(
+    "top_orders_banded",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice >= 400000 THEN 'high'
+                WHEN o_totalprice >= 200000 THEN 'mid'
+                ELSE 'low' END AS price_band
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    operators=("O1", "P9"),
+)
+def top_orders_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT plans as TakeOrderedAndProject (real top-k, no
+    global sort); banding is the VOTE_BUCKET CASE chain
+    (movie_facts_anl.sql:27-40)."""
+    orders = load_table(spark, sf_dir, "orders")
+    banded = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        banding("o_totalprice", [400000.0, 200000.0], ["high", "mid", "low"]).alias(
+            "price_band"
+        ),
+    )
+    return top_k_global(banded, [F.desc("o_totalprice"), F.col("o_orderkey")], 10)
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) + MAX-as-any per group (A4, A5)
+# ---------------------------------------------------------------------------
+@register(
+    "brand_diversity_by_type",
+    oracle="""
+    SELECT p_type,
+           COUNT(DISTINCT p_brand) AS n_brands,
+           MAX(p_name)             AS sample_name
+    FROM part
+    GROUP BY p_type
+    """,
+    operators=("A4", "A5"),
+)
+def brand_diversity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct per group + MAX-as-representative
+    (docs/most_verstaile_actor_actress.sql:3-4)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.max("p_name").alias("sample_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction + tolerant cast + fallback (F18, P7, P8)
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), -1)), 4)
+               AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("F18", "P7", "P8", "A1"),
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object + try_cast + COALESCE default — the Snowflake
+    `$1:"x"::type` / TRY_TO_NUMBER / fallback-chain patterns
+    (batch.py:228-273) on a JSON props column. All JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").try_cast("int"), F.lit(-1)
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decade math (F13) on order dates
+# ---------------------------------------------------------------------------
+@register(
+    "orders_per_decade",
+    oracle="""
+    SELECT CAST((year(o_orderdate) // 10) * 10 AS INTEGER) AS order_decade,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS decade_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    operators=("F13", "A1"),
+)
+def orders_per_decade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer decade bucketing ((year/10)::int*10, glue.py:132,241)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = ((F.year("o_orderdate") / 10).cast("int") * 10).alias("order_decade")
+    return orders.groupBy(dec).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("decade_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered collect + concat_ws (A10, A11, F3-F6)
+# ---------------------------------------------------------------------------
+@register(
+    "order_part_names",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(p_name, ', ' ORDER BY l_linenumber, p_name) AS part_names
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_orderkey
+    """,
+    operators=("A10", "A11", "F3", "F4", "F5", "F6"),
+)
+def order_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_array(collect_list(struct)) → transform → concat_ws — the
+    reference's ordered top-cast string (glue.py:157-168). The sort is
+    per-group inside the array, not a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return ordered_collect_concat(
+        joined,
+        group_by=["l_orderkey"],
+        order_col="l_linenumber",
+        value_col="p_name",
+        out_col="part_names",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive filter + isin + LIKE (P2, P3, P4, P5)
+# ---------------------------------------------------------------------------
+@register(
+    "filtered_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_size >= 10
+      AND p_type IN ('ECONOMY', 'PROMO')
+      AND lower(p_name) LIKE '%widget%'
+    """,
+    operators=("P2", "P3", "P4", "P5"),
+)
+def filtered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates + isin + case-insensitive LIKE
+    (glue.py:123-128,147,177). All three push down to the parquet scan
+    — check PushedFilters in .explain('formatted')."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        (F.col("p_size") >= 10)
+        & F.col("p_type").isin("ECONOMY", "PROMO")
+        & F.lower(F.col("p_name")).like("%widget%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# SQL-text surface (§3.3): same engine, query authored as SQL
+# ---------------------------------------------------------------------------
+@register(
+    "sql_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    operators=("S5", "A2", "A3"),
+)
+def sql_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL dialect surface (dbt/Athena models) runs
+    through spark.sql over catalog views — Catalyst parses/optimizes
+    the same as the DataFrame API."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+The reference tunes its Glue session with
+``spark.sql.shuffle.partitions=96`` and
+``spark.sql.files.maxRecordsPerFile=5_000_000``
+(reference: glue_jobs/etl_movies_episodes_analytics_advanced.py:34-35).
+We keep the intent (bounded shuffle width, bounded output files) but let
+AQE coalesce shuffle partitions at runtime, which is the idiomatic
+Spark >= 3.2 approach and the one that survives a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    # Runtime re-planning: coalesce small shuffles, split skewed joins,
+    # switch to broadcast when runtime stats allow. This is the main
+    # lever that makes one set of settings work from sf0.001 to 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Bounded output files (reference: glue.py:35).
+    "spark.sql.files.maxRecordsPerFile": "5000000",
+    # Idempotent run_date replacement (replaces the reference's
+    # Snowflake DELETE+INSERT, batch.py:211-299).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Arrow for the (rare) pandas-UDF paths and fast toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics regardless of host TZ — keeps
+    # results comparable with external oracles.
+    "spark.sql.session.timeZone": "UTC",
+    # Partition discovery/pruning over the parquet lake.
+    "spark.sql.parquet.filterPushdown": "true",
+    # Parquet TIMESTAMP(NANOS) columns surface as long (ns since epoch);
+    # sources.tables converts them to microsecond timestamps by
+    # truncation, matching how SQL engines (e.g. DuckDB) read the same
+    # files. Without this flag Spark refuses nanos parquet outright.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "aws-imdb-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    for the test rig; on a real cluster pass ``None`` master via
+    spark-submit and this builder leaves it untouched.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Local rig: match core count so every task slot is busy without
+        # tiny-partition overhead. On a cluster, set this to ~2-3x total
+        # cores (or rely on AQE coalescing from a high initial value).
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,15 @@
+from aws_imdb_data_pipeline_spark.sources.tables import TABLES, load_table, register_views
+from aws_imdb_data_pipeline_spark.sources.tsv import read_imdb_tsv
+from aws_imdb_data_pipeline_spark.sources.lake import (
+    write_partitioned,
+    replace_run_partition,
+)
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "register_views",
+    "read_imdb_tsv",
+    "write_partitioned",
+    "replace_run_partition",
+]

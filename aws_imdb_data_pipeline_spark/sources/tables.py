@@ -1,0 +1,57 @@
+"""Parquet table access for the engine's lake directory.
+
+A "scale-factor directory" holds one parquet file/dir per table
+(see /root/repo/TESTDATA.md). At 100 TB these would be partitioned
+datasets; ``spark.read.parquet`` handles both shapes identically and
+Catalyst prunes partitions/columns from the declarative plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark surfaces them as
+# long (see session.DEFAULT_CONF nanosAsLong); convert to microsecond
+# timestamps by truncation — the same conversion SQL engines apply.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one table. Column pruning + predicate
+    pushdown happen automatically downstream (verify with
+    ``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``)."""
+    if name in _NANOS_TS_COLS:
+        # Runtime-settable; required even when the session wasn't built
+        # by our factory (e.g. the correctness driver's bare session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # integer div keeps full int64 precision (double would not)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` text queries
+    (the reference's SQL dialect surface) run against the same data."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

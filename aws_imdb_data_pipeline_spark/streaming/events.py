@@ -1,0 +1,108 @@
+"""Structured Streaming operators over event streams.
+
+The reference has no streaming surface (kafka-python installed but
+never imported, airflow/Dockerfile:17); this module supplies the
+stream-processing capabilities a modern pipeline needs, built on
+Structured Streaming. Every transformation is expressed so the SAME
+function works on a batch DataFrame and a streaming one — Spark's
+unified model — which is also how we oracle-test them (batch run vs
+DuckDB; streaming run vs batch run).
+
+Watermarks bound state: ``withWatermark`` lets Spark drop window state
+once event time passes window_end + delay — mandatory at 100 TB/day
+stream volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event-type counts + value sums in tumbling windows."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_size).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_value_stats(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window average value per event type."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window_size, slide).alias("w"), F.col("event_type"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (dynamic gap-based) per user — built-in
+    ``session_window`` (Spark >= 3.2), works in batch AND streaming."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_from_dir(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over a directory of parquet event files —
+    the local stand-in for a Kafka topic; swap ``format('kafka')`` in
+    production, transformations unchanged."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
