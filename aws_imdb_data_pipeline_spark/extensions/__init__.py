@@ -1,7 +1,8 @@
 from aws_imdb_data_pipeline_spark.extensions.dedup import (
     exact_dedup,
     shingle,
-    minhash_signature,
+    shingle_docs,
+    minhash_signatures,
     lsh_candidate_pairs,
     jaccard_on_shingles,
     minhash_dedup_pairs,
@@ -19,7 +20,8 @@ from aws_imdb_data_pipeline_spark.extensions.textstats import (
 __all__ = [
     "exact_dedup",
     "shingle",
-    "minhash_signature",
+    "shingle_docs",
+    "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_on_shingles",
     "minhash_dedup_pairs",

@@ -34,7 +34,9 @@ def null_sentinel_cast(
     cleaned = F.when(
         c.isNull() | (c == F.lit(sentinel)) | (F.length(F.trim(c)) == 0), F.lit(None)
     ).otherwise(c)
-    return cleaned.cast(dtype)
+    # try_cast: malformed → NULL. Matches the reference's Spark-3
+    # non-ANSI cast semantics; plain .cast raises under ANSI (Spark 4).
+    return cleaned.try_cast(dtype)
 
 
 def try_cast(col: Column | str, dtype: str) -> Column:

@@ -156,13 +156,17 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("minhash_dedup_documents", oracle=None, operators=("EXT-dedup",))
 def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs verified by exact Jaccard >= 0.5 on
-    unigram shingles. LSH has false negatives by design → no SQL oracle;
-    tests assert zero false positives and recall vs brute force."""
+    """MinHash+LSH near-dup pairs verified by exact Jaccard >= 0.6 on
+    3-gram shingles. LSH has false negatives by design → no SQL oracle;
+    tests assert zero false positives and recall vs brute force.
+
+    (Unigram shingles over this corpus's tiny vocabulary degenerate —
+    every doc matches every doc, a quadratic result; 3-grams are the
+    discriminative choice a real corpus needs.)"""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
-        docs, id_col="doc_id", text_col="text", k=1, num_hashes=64, bands=16,
-        threshold=0.5,
+        docs, id_col="doc_id", text_col="text", k=3, num_hashes=64, bands=16,
+        threshold=0.6,
     ).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )

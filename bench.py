@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full evaluation of
+every expression/shuffle, zero serialization back to Python — measures
+the engine, not toPandas). A warmup run of one light query absorbs JVM
+/ codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_imdb_data_pipeline_spark.plans import REGISTRY
+from aws_imdb_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "top_parts_by_brand_revenue",
+    "top_lines_per_order",
+    "max_line_flag",
+    "order_part_names",
+    "orders_enriched",
+    "dq_profile_union_approx",
+    "events_hourly_counts",
+    "events_user_sessions",
+    "dedup_exact_documents",
+    "text_token_stats",
+    "minhash_dedup_documents",
+    "ann_cosine_topk",
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    run_noop(REGISTRY["pricing_summary"].fn(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        run_noop(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

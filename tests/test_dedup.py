@@ -1,0 +1,87 @@
+"""Dedup extensions: exact, fingerprint, MinHash+LSH recall/precision."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.extensions import (
+    exact_dedup,
+    jaccard_on_shingles,
+    minhash_dedup_pairs,
+    shingle_docs,
+)
+from aws_imdb_data_pipeline_spark.extensions.textstats import fingerprint
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "dup"), (3, "dup"), (2, "dup"), (9, "solo")], ["id", "text"]
+    )
+    out = exact_dedup(df, ["text"], [F.col("id")]).collect()
+    assert {(r.text, r.id) for r in out} == {("dup", 1), ("solo", 9)}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.fp64 for r in fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def _corpus(spark):
+    """20 distinct docs + 3 planted near-duplicates of doc 0."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [(0, base)]
+    # near-dups: one word changed / appended
+    rows.append((100, base.replace("kappa", "kangaroo")))
+    rows.append((101, base + " extra"))
+    rows.append((102, base.replace("alpha beta", "beta alpha")))
+    for i in range(1, 20):
+        words = " ".join(f"w{i}_{j}" for j in range(20))
+        rows.append((i, words))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = _corpus(spark)
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # planted dups of doc 0 must be found (high jaccard → high LSH prob)
+    assert (0, 100) in found and (0, 101) in found
+    # every reported pair must truly exceed the threshold (no false pos)
+    assert all(r.jaccard >= 0.5 for r in pairs)
+    # unrelated docs share no 3-grams → never reported
+    assert not any(a >= 1 and a < 20 and b >= 1 and b < 20 for a, b in found)
+
+
+def test_lsh_no_false_positives_vs_bruteforce(spark):
+    docs = _corpus(spark)
+    sh = shingle_docs(docs, "doc_id", "text", k=3)
+    a = sh.selectExpr("doc_id as id_a", "__shingles as sh_a")
+    b = sh.selectExpr("doc_id as id_b", "__shingles as sh_b")
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    truth = {(r.id_a, r.id_b) for r in brute.collect()}
+    lsh = minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert got <= truth  # LSH may miss, must never invent
+    assert len(got) >= int(0.75 * len(truth))  # decent recall on this corpus

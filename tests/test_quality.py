@@ -1,0 +1,77 @@
+"""Quality module: DQ profiles and mostly-threshold expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.quality import (
+    dq_profile,
+    dq_union,
+    expect_min_rows,
+    expect_not_null,
+    expect_unique,
+    expect_values_between,
+    validate,
+)
+
+
+def test_dq_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 7.0), (3, r"\N", None), (4, "  ", 1.0)],
+        ["id", "s", "x"],
+    )
+    row = dq_profile(
+        df, "t", null_cols=["s", "x"], numeric_cols=["x"], distinct_cols=["id"],
+        exact_distinct=True, run_date="20240101",
+    ).first()
+    assert row.dataset == "t" and row.row_count == 4
+    assert row.null_s == 3  # None, \N sentinel, blank
+    assert row.null_x == 1
+    assert row.min_x == 1.0 and row.max_x == 7.0
+    assert row.distinct_id == 4 and row.run_date == "20240101"
+
+
+def test_dq_profile_approx_close_to_exact(spark, sf_dir):
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    approx = dq_profile(orders, "o", distinct_cols=["o_custkey"]).first()
+    exact = dq_profile(
+        orders, "o", distinct_cols=["o_custkey"], exact_distinct=True
+    ).first()
+    assert abs(approx.distinct_o_custkey - exact.distinct_o_custkey) <= (
+        0.05 * exact.distinct_o_custkey
+    )
+
+
+def test_dq_union_missing_cols(spark):
+    a = spark.createDataFrame([(1,)], ["x"]).agg(F.count("*").alias("row_count"))
+    a = a.withColumn("only_a", F.lit(1))
+    b = spark.createDataFrame([(1,)], ["x"]).agg(F.count("*").alias("row_count"))
+    out = dq_union([a, b])
+    assert out.count() == 2
+    assert out.filter(F.col("only_a").isNull()).count() == 1
+
+
+def test_expectations_mostly(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    ok = expect_values_between(df, "v", lo=0, hi=98, mostly=0.98)
+    assert ok.success and ok.violations == 1
+    bad = expect_values_between(df, "v", lo=0, hi=50, mostly=0.98)
+    assert not bad.success
+
+
+def test_expect_not_null_and_unique(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (None,)], ["k"])
+    assert not expect_not_null(df, "k").success
+    assert expect_not_null(df, "k", mostly=0.7).success
+    uniq = expect_unique(df, ["k"])
+    assert not uniq.success and uniq.violations == 1
+
+
+def test_validate_gate_raises(spark):
+    df = spark.createDataFrame([(None,)], "k: int")
+    with pytest.raises(AssertionError, match="not_null"):
+        validate([expect_not_null(df, "k")])
+    validate([expect_min_rows(df, 1)])  # passes silently

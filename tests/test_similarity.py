@@ -1,0 +1,62 @@
+"""Similarity search: brute-force cosine top-k and sign-LSH buckets."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.extensions import cosine_topk, with_norm
+from aws_imdb_data_pipeline_spark.extensions.similarity import (
+    random_hyperplane_buckets,
+)
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_with_norm(spark):
+    out = {r.vec_id: r.norm for r in with_norm(_vecs(spark), "embedding").collect()}
+    assert abs(out[0] - 1.0) < 1e-9
+    assert abs(out[4] - math.sqrt(0.5)) < 1e-9
+
+
+def test_cosine_topk_ordering(spark):
+    vecs = _vecs(spark)
+    out = cosine_topk(
+        vecs.filter("vec_id = 0"), vecs, "vec_id", "embedding", k=4
+    ).collect()
+    order = [r.neighbor_id for r in out]
+    assert order[0] == 1  # most similar
+    assert order[-1] == 3  # opposite vector last
+    scores = {r.neighbor_id: r.cosine for r in out}
+    assert scores[3] == -1.0 and scores[2] == 0.0
+
+
+def test_cosine_topk_excludes_self(spark):
+    vecs = _vecs(spark)
+    out = cosine_topk(vecs, vecs, "vec_id", "embedding", k=10).collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+
+
+def test_hyperplane_buckets_deterministic_and_similar_collide(spark):
+    vecs = _vecs(spark)
+    b1 = {
+        r.vec_id: r.lsh_bucket
+        for r in random_hyperplane_buckets(vecs, "embedding", dim=3, n_planes=8).collect()
+    }
+    b2 = {
+        r.vec_id: r.lsh_bucket
+        for r in random_hyperplane_buckets(vecs, "embedding", dim=3, n_planes=8).collect()
+    }
+    assert b1 == b2  # seeded planes → deterministic
+    assert b1[0] == b1[1]  # near-identical vectors share a bucket
+    assert b1[0] != b1[3]  # opposite vectors never share (all signs flip)

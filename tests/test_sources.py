@@ -1,0 +1,67 @@
+r"""Sources: IMDb TSV reading (\N sentinel), partitioned lake writes,
+idempotent partition replacement."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from aws_imdb_data_pipeline_spark.sources import (
+    read_imdb_tsv,
+    replace_run_partition,
+    write_partitioned,
+)
+
+TSV = "tconst\tstartYear\ttitleType\nt1\t1994\tmovie\nt2\t\\N\tmovie\nt3\t2001\t\\N\n"
+
+
+def test_read_imdb_tsv_gzip_and_sentinel(spark, tmp_path):
+    p = tmp_path / "basics.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(TSV)
+    df = read_imdb_tsv(spark, str(p))
+    rows = {r.tconst: (r.startYear, r.titleType) for r in df.collect()}
+    assert rows == {"t1": ("1994", "movie"), "t2": (None, "movie"), "t3": ("2001", None)}
+    # all-string typing, reference behavior (glue.py:53-60)
+    assert all(f.dataType == StringType() for f in df.schema.fields)
+
+
+def test_read_imdb_tsv_typed_schema(spark, tmp_path):
+    p = tmp_path / "typed.tsv"
+    p.write_text(TSV)
+    schema = StructType(
+        [
+            StructField("tconst", StringType()),
+            StructField("startYear", IntegerType()),
+            StructField("titleType", StringType()),
+        ]
+    )
+    df = read_imdb_tsv(spark, str(p), schema=schema)
+    got = {r.tconst: r.startYear for r in df.collect()}
+    assert got == {"t1": 1994, "t2": None, "t3": 2001}
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("20240101", "a", 1), ("20240101", "b", 2)], ["run_date", "g", "v"]
+    )
+    out = str(tmp_path / "lake")
+    write_partitioned(df, out, ["run_date", "g"])
+    assert os.path.isdir(os.path.join(out, "run_date=20240101", "g=a"))
+    back = spark.read.parquet(out)
+    assert back.count() == 2 and set(back.columns) == {"run_date", "g", "v"}
+
+
+def test_replace_run_partition_idempotent(spark, tmp_path):
+    out = str(tmp_path / "lake2")
+    d1 = spark.createDataFrame([("d1", 1), ("d2", 2)], ["run_date", "v"])
+    write_partitioned(d1, out, ["run_date"])
+    # re-load d1 with a new value; d2 must survive, d1 must not duplicate
+    d1b = spark.createDataFrame([("d1", 99)], ["run_date", "v"])
+    replace_run_partition(d1b, out, ["run_date"])
+    back = spark.read.parquet(out)
+    got = {(r.run_date, r.v) for r in back.collect()}
+    assert got == {("d1", 99), ("d2", 2)}

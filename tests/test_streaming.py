@@ -1,0 +1,67 @@
+"""Structured Streaming: the same operators that run in batch must
+produce identical results through readStream (unified API), with
+watermarks bounding state."""
+
+from __future__ import annotations
+
+import os
+
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.streaming import (
+    sessionize,
+    stream_events_from_dir,
+    tumbling_counts,
+)
+
+
+def _run_stream_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    batch_events = load_table(spark, sf_dir, "events")
+    # stage the events as a file-stream source (multiple files → many triggers)
+    src = str(tmp_path / "events_stream")
+    batch_events.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_events_from_dir(spark, src, schema, max_files_per_trigger=1)
+    streamed = _run_stream_to_memory(
+        spark, tumbling_counts(stream, "1 hour", watermark="2 hours"), "t_tumbling"
+    )
+    expected = tumbling_counts(batch_events, "1 hour")
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in streamed.collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in expected.collect()
+    }
+    assert got == want
+
+
+def test_sessionize_stream_runs(spark, sf_dir, tmp_path):
+    batch_events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sessions")
+    batch_events.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_events_from_dir(spark, src, schema)
+    streamed = _run_stream_to_memory(
+        spark,
+        sessionize(stream, gap="5 minutes", watermark="1 hour"),
+        "t_sessions",
+    )
+    batch = sessionize(batch_events, gap="5 minutes")
+    # complete-mode availableNow over all files must agree with batch
+    assert streamed.count() == batch.count()
