@@ -45,11 +45,17 @@ def replace_run_partition(
 ) -> None:
     """Idempotent slice replacement via dynamic partition overwrite.
 
-    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set
-    by the session factory): only partitions present in ``df`` are
-    overwritten, all other slices are untouched — the Spark-native
-    equivalent of the reference's per-run_date DELETE+INSERT
-    (batch.py:217,246,280).
+    Only partitions present in ``df`` are overwritten, all other
+    slices are untouched — the Spark-native equivalent of the
+    reference's per-run_date DELETE+INSERT (batch.py:217,246,280).
+    The overwrite mode is pinned per-write (not session conf) so the
+    semantics hold in ANY session — under the default STATIC mode this
+    write would silently wipe every other run's partitions.
     """
     out = df.repartition(*partition_cols) if compact and partition_cols else df
-    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
