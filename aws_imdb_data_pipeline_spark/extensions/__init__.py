@@ -6,10 +6,13 @@ from aws_imdb_data_pipeline_spark.extensions.dedup import (
     lsh_candidate_pairs,
     jaccard_on_shingles,
     minhash_dedup_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
 )
 from aws_imdb_data_pipeline_spark.extensions.similarity import (
     with_norm,
     cosine_topk,
+    embedding_near_dup_pairs,
 )
 from aws_imdb_data_pipeline_spark.extensions.textstats import (
     token_stats,
@@ -25,8 +28,11 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_on_shingles",
     "minhash_dedup_pairs",
+    "simhash64",
+    "simhash_near_dup_pairs",
     "with_norm",
     "cosine_topk",
+    "embedding_near_dup_pairs",
     "token_stats",
     "language_id",
     "quality_score",

@@ -18,10 +18,99 @@ the exact-Jaccard verify touches only candidate pairs. Skewed buckets
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+
+
+def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash fingerprints via an Arrow-batched pandas UDF.
+
+    Per-token 64-bit hashes vote on each bit position; the sign of the
+    vote sum sets the bit. Near-duplicate docs differ in few bits →
+    compare with hamming distance (``simhash_near_dup_pairs``).
+    This is the sanctioned Python path: bit-vote accumulation has no
+    clean Catalyst expression, so it runs as a pandas UDF over Arrow
+    batches (not per-row Python).
+    """
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in text.split():
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+                    )
+                )
+                bits = (h >> shifts) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            fp = np.uint64(0)
+            for j in range(64):
+                if votes[j] > 0:
+                    fp |= np.uint64(1) << np.uint64(j)
+            out[i] = fp
+        return pd.Series(out.view(np.int64))
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``bands`` slices; two docs within ``max_hamming`` bits must agree
+    exactly on at least one band (pigeonhole, when max_hamming < bands)
+    → bucket-join per band, then exact hamming filter via
+    bit_count(xor). Candidate generation is linear, never O(N^2)."""
+    fp = simhash64(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("__id"), F.col("simhash")
+    )
+    width = 64 // bands
+    banded = fp.select(
+        "__id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_bits"),
+    )
+    a = banded.select(
+        F.col("__id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "band_bits"
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "band_bits"
+    )
+    pairs = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_by: list[Column]) -> DataFrame:

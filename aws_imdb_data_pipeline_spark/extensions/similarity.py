@@ -82,6 +82,38 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — brute-force
+    O(N^2) baseline for embedding-level dedup.
+
+    Scale path: at N where N^2 is prohibitive, bucket by
+    ``random_hyperplane_buckets`` first and run this within buckets
+    (or within band-matching buckets), trading recall for the
+    quadratic term — same contract, fewer comparisons.
+    """
+    base = df.select(F.col(id_col).alias("__id"), _to_double(vec_col).alias("__v"))
+    base = base.withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     vec_col: str,

@@ -35,11 +35,11 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_tokens": F.size(words),
             "n_chars_measured": F.length(F.col(text_col)),
             "n_distinct_tokens": F.size(F.array_distinct(words)),
-            "avg_token_len": F.round(
-                F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
-                / F.size(words),
-                4,
-            ),
+            # raw quotient: int operands are identical across engines,
+            # and rounding a quotient is engine-dependent at decimal ties
+            "avg_token_len": F.length(
+                F.regexp_replace(F.col(text_col), r"\s+", "")
+            ) / F.size(words),
         }
     )
 
@@ -87,9 +87,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.withColumns(
         {
-            "repetition_ratio": F.round(rep, 4),
-            "alpha_ratio": F.round(alpha_ratio, 4),
-            "quality": F.round(score, 4),
+            "repetition_ratio": rep,
+            "alpha_ratio": alpha_ratio,
+            "quality": score,
         }
     )
 

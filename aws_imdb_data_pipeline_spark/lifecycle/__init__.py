@@ -1,0 +1,19 @@
+from aws_imdb_data_pipeline_spark.lifecycle.runs import (
+    RunManifest,
+    write_manifest,
+    read_manifest,
+    content_changed,
+)
+from aws_imdb_data_pipeline_spark.lifecycle.catalog import (
+    register_lake_table,
+    refresh_table,
+)
+
+__all__ = [
+    "RunManifest",
+    "write_manifest",
+    "read_manifest",
+    "content_changed",
+    "register_lake_table",
+    "refresh_table",
+]

@@ -8,8 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_imdb_data_pipeline_spark.extensions.dedup import minhash_dedup_pairs
-from aws_imdb_data_pipeline_spark.extensions.similarity import cosine_topk
+from aws_imdb_data_pipeline_spark.extensions.dedup import (
+    minhash_dedup_pairs,
+    simhash_near_dup_pairs,
+)
+from aws_imdb_data_pipeline_spark.extensions.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
 from aws_imdb_data_pipeline_spark.extensions.textstats import (
     STOPWORDS,
     fingerprint,
@@ -55,8 +61,8 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS INTEGER) AS n_chars_measured,
            CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INTEGER)
                AS n_distinct_tokens,
-           ROUND(length(regexp_replace(text, '\s+', '', 'g'))
-                 / len(string_split_regex(text, '\s+')), 4) AS avg_token_len
+           length(regexp_replace(text, '\s+', '', 'g'))
+                 / len(string_split_regex(text, '\s+')) AS avg_token_len
     FROM documents
     """,
     operators=("EXT-text", "F1", "F8"),
@@ -124,11 +130,11 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           ROUND(1.0 - nd / n, 4) AS repetition_ratio,
-           ROUND(alpha_chars / nonspace_chars, 4) AS alpha_ratio,
-           ROUND((CASE WHEN n < 5 THEN 0.2 WHEN n > 1000 THEN 0.5 ELSE 1.0 END)
+           1.0 - nd / n AS repetition_ratio,
+           alpha_chars / nonspace_chars AS alpha_ratio,
+           (CASE WHEN n < 5 THEN 0.2 WHEN n > 1000 THEN 0.5 ELSE 1.0 END)
                  * (1.0 - least(1.0 - nd / n, 1.0) * 0.5)
-                 * (0.5 + (alpha_chars / nonspace_chars) * 0.5), 4) AS quality
+                 * (0.5 + (alpha_chars / nonspace_chars) * 0.5) AS quality
     FROM base
     """,
     operators=("EXT-text", "P9"),
@@ -170,6 +176,54 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (pandas-UDF fingerprints → banded hamming join)
+# ---------------------------------------------------------------------------
+@register("simhash_near_dup_documents", oracle=None, operators=("EXT-dedup",))
+def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit, pandas-UDF) + banded hamming-distance join.
+    Fingerprints are hash-family-specific → rows-only check; pytest
+    verifies hamming properties on planted near-dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (brute force, oracle-verified)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.4
+    """,
+    operators=("EXT-sim", "EXT-dedup"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.4 (brute-force baseline;
+    LSH-bucketed variant is the scale path — see
+    extensions.similarity.random_hyperplane_buckets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

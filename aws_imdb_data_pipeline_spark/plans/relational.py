@@ -27,6 +27,20 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
+def stable_avg(col: str) -> F.Column:
+    """Cross-engine-stable mean: ROUND(SUM, 4) snaps both engines'
+    near-identical sums to the same double (safe because the inputs
+    have <= 4 decimals, so the rounding can never land on a tie), then
+    divide by the non-null count WITHOUT rounding the quotient —
+    identical operands give a bitwise-identical quotient.
+
+    Never round a quotient: when the true ratio has a decimal tie
+    (e.g. 7/32 = 0.21875), Spark rounds the double's shortest decimal
+    repr (HALF_UP -> up) while DuckDB rounds the binary value (often
+    down) — the SAME double rounds differently in the two engines."""
+    return F.round(F.sum(col), 4) / F.count(col)
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (A1, A6, A7) — TPC-H Q1-shaped pricing summary
 # ---------------------------------------------------------------------------
@@ -37,8 +51,8 @@ def _revenue() -> F.Column:
            ROUND(SUM(l_quantity), 4)      AS sum_qty,
            ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)      AS avg_qty,
-           ROUND(AVG(l_discount), 4)      AS avg_disc,
+           ROUND(SUM(l_quantity), 4) / COUNT(l_quantity) AS avg_qty,
+           ROUND(SUM(l_discount), 4) / COUNT(l_discount) AS avg_disc,
            COUNT(*)                       AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -56,8 +70,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
         F.round(F.sum(_revenue()), 4).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        stable_avg("l_quantity").alias("avg_qty"),
+        stable_avg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -246,7 +260,7 @@ def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name AS region_name,
            COUNT(*) AS customers,
-           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+           ROUND(SUM(c_acctbal), 4) / COUNT(c_acctbal) AS avg_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -269,7 +283,7 @@ def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            stable_avg("c_acctbal").alias("avg_acctbal"),
         )
     )
 
@@ -471,8 +485,8 @@ def brand_diversity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_stats",
     oracle="""
     SELECT event_type,
-           ROUND(AVG(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), -1)), 4)
-               AS avg_k,
+           CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), -1)) AS DOUBLE)
+               / COUNT(*) AS avg_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -488,7 +502,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("int"), F.lit(-1)
     )
     return ev.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"),
+        (F.sum(k) / F.count(F.lit(1))).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -581,7 +595,7 @@ def filtered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_orders_per_priority",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(AVG(o_totalprice), 4) AS avg_price
+           ROUND(SUM(o_totalprice), 4) / COUNT(o_totalprice) AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -595,7 +609,7 @@ def sql_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(AVG(o_totalprice), 4) AS avg_price
+               ROUND(SUM(o_totalprice), 4) / COUNT(o_totalprice) AS avg_price
         FROM orders
         GROUP BY o_orderpriority
         """

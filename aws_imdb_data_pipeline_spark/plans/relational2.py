@@ -1,0 +1,339 @@
+"""Second relational batch: explicit window frames / lead / lag / rank
+(W4 — described only in the reference's DAX prose, README.md:152-161),
+grouping sets (A13), set operations (U3), ordinal GROUP BY (A2), and
+file-path metadata (S7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, register_views
+
+
+# ---------------------------------------------------------------------------
+# lead/lag over event time per user (W4)
+# ---------------------------------------------------------------------------
+@register(
+    "events_lead_lag",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           ROUND(value - COALESCE(
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4)
+               AS delta_from_prev
+    FROM events
+    """,
+    operators=("W4",),
+)
+def events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with a deterministic (ts, event_id) order — one window
+    spec shared by all three expressions → single shuffle + sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4
+        ).alias("delta_from_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank vs dense_rank vs row_number (W4)
+# ---------------------------------------------------------------------------
+@register(
+    "part_price_ranks",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INTEGER) AS price_rank,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INTEGER) AS price_dense_rank,
+           CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS price_row
+    FROM part
+    """,
+    operators=("W4", "W1"),
+)
+def part_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ranking flavors over one partition spec (ties rank
+    equally under rank/dense_rank; row_number breaks them by key)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    wr = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.col("p_partkey")
+    )
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.row_number().over(wr).alias("price_row"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# explicit frame spec: trailing-3 moving average (W4)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_moving_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             / COUNT(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trailing3_avg,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 4) AS running_total
+    FROM orders
+    """,
+    operators=("W4",),
+)
+def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rowsBetween frames: trailing-3 average + running total per
+    customer. One window ordering serves both frames."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        (
+            F.round(F.sum("o_totalprice").over(base.rowsBetween(-2, 0)), 4)
+            / F.count("o_totalprice").over(base.rowsBetween(-2, 0))
+        ).alias("trailing3_avg"),
+        F.round(
+            F.sum("o_totalprice").over(
+                base.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# first/last over frames (W4) — DAX best-season fallback pattern
+# ---------------------------------------------------------------------------
+@register(
+    "customer_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_orderkey,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_orderkey
+    FROM orders
+    """,
+    operators=("W4",),
+)
+def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an unbounded frame (the README.md:152-161
+    pilot/finale fallback logic, done relationally)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (A13)
+# ---------------------------------------------------------------------------
+@register(
+    "sales_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    operators=("A13",),
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup — absent from the reference
+    (its 'rollups' are plain groupBys, glue.py:299-308) but a standard
+    engine capability; one pass, partial aggregation per grouping set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE (A13)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    operators=("A13",),
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "orders")
+    return li.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT (U3)
+# ---------------------------------------------------------------------------
+@register(
+    "segments_intersect_except",
+    oracle="""
+    SELECT 'both' AS side, c_nationkey FROM (
+        SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    UNION ALL
+    SELECT 'building_only' AS side, c_nationkey FROM (
+        SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    """,
+    operators=("U3", "U1"),
+)
+def segments_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect + exceptAll (distinct variants) — nations having
+    customers in both/only-one segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_nationkey"
+    ).distinct()
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_nationkey"
+    ).distinct()
+    both = building.intersect(machinery).select(
+        F.lit("both").alias("side"), "c_nationkey"
+    )
+    only = building.exceptAll(machinery).select(
+        F.lit("building_only").alias("side"), "c_nationkey"
+    )
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins — absent from the reference but core engine surface
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+    operators=("J-anti",),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join — rows with no match; plans as a broadcast anti
+    join when the right side is small."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "parts_with_orders_semi",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    operators=("J-semi",),
+)
+def parts_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join — existence filter without duplication."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordinal GROUP BY through spark.sql (A2)
+# ---------------------------------------------------------------------------
+@register(
+    "sql_ordinal_groupby",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 4) / COUNT(c_acctbal) AS avg_bal
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    operators=("A2", "S5"),
+)
+def sql_ordinal_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ordinals (marts_episode_season_trends.sql:26-37 uses
+    GROUP BY 1,2,3,4) — groupByOrdinal is on by default in Spark SQL."""
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 4) / COUNT(c_acctbal) AS avg_bal
+        FROM customer
+        GROUP BY 1, 2
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# file-path metadata column (S7)
+# ---------------------------------------------------------------------------
+@register(
+    "scan_file_metadata",
+    oracle=None,  # path formats are engine-specific; rows-only + pytest
+    operators=("S7", "F9"),
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_file_name + regexp_extract — the reference recovers
+    partition values from ``$path`` / METADATA$FILENAME
+    (marts_movie_facts_view.sql:6, batch.py:229-231). Spark exposes
+    real partition columns, so this is only needed for foreign layouts;
+    registered rows-only since path strings are engine-specific."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)\.parquet", 1).alias(
+                "source_table"
+            )
+        )
+        .groupBy("source_table")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

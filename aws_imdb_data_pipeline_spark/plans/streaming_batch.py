@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
-from aws_imdb_data_pipeline_spark.streaming.events import sessionize, tumbling_counts
+from aws_imdb_data_pipeline_spark.streaming.events import (
+    sessionize,
+    sliding_value_stats,
+    tumbling_counts,
+)
 
 
 @register(
@@ -29,6 +33,37 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows via F.window — identical code path runs
     under readStream with a watermark (see streaming tests)."""
     return tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "events_sliding_stats",
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           ROUND(SUM(value), 4) / COUNT(value) AS avg_value,
+           COUNT(*) AS n_events
+    FROM w
+    GROUP BY 1, 2, 3
+    """,
+    operators=("STR-sliding", "A1"),
+)
+def events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows — every event lands in exactly two
+    windows; the oracle materializes both via the two slide-aligned
+    starts (time_bucket and its predecessor)."""
+    return sliding_value_stats(
+        load_table(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
 
 
 @register(

@@ -57,7 +57,12 @@ def sliding_value_stats(
         df = df.withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, window_size, slide).alias("w"), F.col("event_type"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            # stable cross-engine mean: round the sum before dividing
+            # (see plans.relational.stable_avg for the rationale)
+            (F.round(F.sum("value"), 4) / F.count("value")).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -85,3 +85,34 @@ def test_lsh_no_false_positives_vs_bruteforce(spark):
     got = {(r.id_a, r.id_b) for r in lsh.collect()}
     assert got <= truth  # LSH may miss, must never invent
     assert len(got) >= int(0.75 * len(truth))  # decent recall on this corpus
+
+
+def test_simhash_hamming_properties(spark):
+    from aws_imdb_data_pipeline_spark.extensions import simhash64, simhash_near_dup_pairs
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                   # identical → hamming 0
+            (3, base.replace("tok5", "changed")),        # near-dup → small hamming
+            (4, " ".join(f"zz{i}" for i in range(60))),  # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    fp = {r.doc_id: r.simhash for r in simhash64(docs, "text").collect()}
+    assert fp[1] == fp[2]
+    ham = lambda a, b: bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1")
+    # a 1-token edit moves few bits relative to an unrelated doc
+    assert 0 < ham(1, 3) < ham(1, 4)
+    assert ham(1, 4) > 16
+
+    # banding guarantees recall only for hamming < bands; identical
+    # docs (hamming 0) must always be found, and every reported pair
+    # must satisfy the hamming bound (no false positives)
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert all(r.hamming <= 3 for r in pairs)
+    assert not any(4 in p for p in got)

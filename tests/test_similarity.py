@@ -60,3 +60,24 @@ def test_hyperplane_buckets_deterministic_and_similar_collide(spark):
     assert b1 == b2  # seeded planes → deterministic
     assert b1[0] == b1[1]  # near-identical vectors share a bucket
     assert b1[0] != b1[3]  # opposite vectors never share (all signs flip)
+
+
+def test_embedding_near_dup_pairs(spark):
+    from aws_imdb_data_pipeline_spark.extensions import embedding_near_dup_pairs
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.999, 0.01]),  # cosine ~1 with 0
+            (2, [0.0, 1.0]),     # orthogonal
+            (3, [0.7, 0.7]),     # cos 0.707 with both axes
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(vecs, "vec_id", "embedding", 0.7).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 3) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (0, 2) not in pairs  # orthogonal below threshold

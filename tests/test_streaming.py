@@ -65,3 +65,37 @@ def test_sessionize_stream_runs(spark, sf_dir, tmp_path):
     batch = sessionize(batch_events, gap="5 minutes")
     # complete-mode availableNow over all files must agree with batch
     assert streamed.count() == batch.count()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids arriving in
+    different micro-batches are suppressed while within the watermark."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+    )
+    src = str(tmp_path / "dup_stream")
+    # write the same ids twice into separate files → separate triggers
+    base.coalesce(1).write.mode("append").parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("t_dedup").count() == 100  # 200 rows in, 100 out
