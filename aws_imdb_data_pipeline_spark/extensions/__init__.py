@@ -12,6 +12,7 @@ from aws_imdb_data_pipeline_spark.extensions.dedup import (
 from aws_imdb_data_pipeline_spark.extensions.similarity import (
     with_norm,
     cosine_topk,
+    cosine_topk_lsh,
     embedding_near_dup_pairs,
 )
 from aws_imdb_data_pipeline_spark.extensions.textstats import (
@@ -32,6 +33,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "with_norm",
     "cosine_topk",
+    "cosine_topk_lsh",
     "embedding_near_dup_pairs",
     "token_stats",
     "language_id",

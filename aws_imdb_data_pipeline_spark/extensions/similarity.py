@@ -82,6 +82,66 @@ def cosine_topk(
     )
 
 
+def cosine_topk_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    probe_radius: int = 1,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: compare only candidates whose sign-LSH
+    bucket is within ``probe_radius`` bit flips of the query's bucket
+    (multi-probe). With b planes, a radius-1 probe scans ~(1+b)/2^b of
+    the corpus instead of all of it — the scale path when the query
+    set is too large to broadcast against every candidate.
+
+    Trade-off: recall < 1 (a true neighbor can land outside the probed
+    buckets); raise ``probe_radius``/lower ``n_planes`` for recall,
+    reverse for speed. Tests measure recall against brute force.
+    """
+    qb = random_hyperplane_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv", dim, n_planes, seed,
+    )
+    cb = random_hyperplane_buckets(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "__cv", dim, n_planes, seed,
+    )
+    # multi-probe: expand each query to its bucket + all buckets within
+    # probe_radius bit flips (radius 1 → b+1 probes)
+    probes = [F.col("lsh_bucket")]
+    if probe_radius >= 1:
+        probes += [
+            F.col("lsh_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    qb = qb.withColumn("__probe", F.explode(F.array(*probes))).drop("lsh_bucket")
+
+    joined = cb.join(
+        F.broadcast(qb), F.col("lsh_bucket") == F.col("__probe")
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    qv, cv = _to_double("__qv"), _to_double("__cv")
+    qn = F.sqrt(_dot(qv, qv))
+    cn = F.sqrt(_dot(cv, cv))
+    cos = _dot(qv, cv) / (qn * cn)
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine")).distinct()
+    return top_n_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.col("neighbor_id")],
+        n=k,
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -121,7 +181,7 @@ def random_hyperplane_buckets(
     n_planes: int = 16,
     seed: int = 42,
     out_col: str = "lsh_bucket",
-) -> DataFrame:
+) -> DataFrame:  # noqa: D401 — see module docstring
     """Sign-LSH bucket id: bit i = (v . plane_i) > 0, planes drawn from
     a seeded RNG and embedded as literals (deterministic everywhere).
 

@@ -8,6 +8,10 @@ from aws_imdb_data_pipeline_spark.lifecycle.catalog import (
     register_lake_table,
     refresh_table,
 )
+from aws_imdb_data_pipeline_spark.lifecycle.warehouse import (
+    staged_load,
+    typed_projection,
+)
 
 __all__ = [
     "RunManifest",
@@ -16,4 +20,6 @@ __all__ = [
     "content_changed",
     "register_lake_table",
     "refresh_table",
+    "staged_load",
+    "typed_projection",
 ]

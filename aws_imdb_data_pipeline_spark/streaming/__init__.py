@@ -1,3 +1,6 @@
+from aws_imdb_data_pipeline_spark.streaming.stateful import (
+    user_running_totals,
+)
 from aws_imdb_data_pipeline_spark.streaming.events import (
     tumbling_counts,
     sliding_value_stats,
@@ -10,4 +13,5 @@ __all__ = [
     "sliding_value_stats",
     "sessionize",
     "stream_events_from_dir",
+    "user_running_totals",
 ]

@@ -53,3 +53,32 @@ def test_register_lake_table_sees_new_partitions(spark, tmp_path):
     # partition-pruned read (S6): filter on the partition column
     assert spark.table(tbl).filter("run_date = 'r2'").count() == 1
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_staged_load_idempotent_and_typed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.lifecycle.warehouse import staged_load
+
+    # build a stage: run_date partitions with all-string payloads
+    stage = str(tmp_path / "stage")
+    raw = spark.createDataFrame(
+        [("d1", "1", "8.5"), ("d1", "2", "oops"), ("d2", "3", "6.0")],
+        ["run_date", "id", "rating"],
+    )
+    raw.write.partitionBy("run_date").parquet(stage)
+
+    lake = str(tmp_path / "wh")
+    out = staged_load(
+        spark, stage, "d1", lake, casts={"id": "long", "rating": "double"}
+    )
+    rows = {r.id: r.rating for r in out.collect()}
+    assert rows == {1: 8.5, 2: None}  # tolerant cast: 'oops' → NULL
+    assert dict(out.dtypes)["id"] == "bigint"
+
+    # load d2, then re-load d1 → no duplication, both slices present
+    staged_load(spark, stage, "d2", lake, casts={"id": "long", "rating": "double"})
+    staged_load(spark, stage, "d1", lake, casts={"id": "long", "rating": "double"})
+    final = spark.read.parquet(lake)
+    assert final.count() == 3
+    assert {r.run_date for r in final.select("run_date").distinct().collect()} == {"d1", "d2"}

@@ -81,3 +81,27 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 3) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert (0, 2) not in pairs  # orthogonal below threshold
+
+
+def test_cosine_topk_lsh_structural_and_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions import cosine_topk, cosine_topk_lsh
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 20")
+    truth = cosine_topk(q, emb, "vec_id", "embedding", k=5)
+    approx = cosine_topk_lsh(
+        q, emb, "vec_id", "embedding", dim=64, k=5, n_planes=4, probe_radius=1
+    )
+    tpairs = {(r.query_id, r.neighbor_id): r.cosine for r in truth.collect()}
+    apairs = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+    # scores must agree exactly where both report a pair
+    for pair, cos in apairs.items():
+        if pair in tpairs:
+            assert abs(cos - tpairs[pair]) < 1e-9
+    # deterministic seeded planes + fixed corpus → recall is fixed (0.46)
+    recall = len(set(apairs) & set(tpairs)) / len(tpairs)
+    assert recall >= 0.4
+    assert all(a != b for (a, b) in apairs)  # never self-matches

@@ -99,3 +99,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("t_dedup").count() == 100  # 200 rows in, 100 out
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState custom operator: final per-user state
+    after consuming the whole stream equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.streaming.stateful import user_running_totals
+
+    batch_events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "stateful_stream")
+    batch_events.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_events_from_dir(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode emits one row per key per batch → last emission wins
+    final = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    expected = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+    want = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in expected.collect()}
+    assert got == want
