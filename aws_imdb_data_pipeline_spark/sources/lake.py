@@ -27,10 +27,18 @@ def write_partitioned(
     partition_cols: list[str],
     mode: str = "append",
     compact: bool = True,
+    cluster_by: list[str] | None = None,
 ) -> None:
     """Hive-partitioned parquet write, optionally compacted to ~1 file
-    per partition (reference: glue.py:195-202)."""
+    per partition (reference: glue.py:195-202).
+
+    ``cluster_by`` sorts rows within each output file — the Spark-side
+    equivalent of the reference's warehouse CLUSTER BY
+    (batch.py:194-196): parquet row-group min/max stats on the sorted
+    columns let later scans skip row groups (zone-map pruning)."""
     out = df.repartition(*partition_cols) if compact and partition_cols else df
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
     writer = out.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

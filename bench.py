@@ -31,7 +31,12 @@ HEADLINE = [
     "orders_enriched",
     "dq_profile_union_approx",
     "events_hourly_counts",
+    "events_sliding_stats",
     "events_user_sessions",
+    "events_lead_lag",
+    "part_price_ranks",
+    "orders_moving_avg",
+    "sales_rollup",
     "dedup_exact_documents",
     "text_token_stats",
     "minhash_dedup_documents",

@@ -82,3 +82,63 @@ def test_staged_load_idempotent_and_typed(spark, tmp_path):
     final = spark.read.parquet(lake)
     assert final.count() == 3
     assert {r.run_date for r in final.select("run_date").distinct().collect()} == {"d1", "d2"}
+
+
+def test_ingest_change_detection_and_manifest(tmp_path):
+    import gzip
+    import json
+
+    from aws_imdb_data_pipeline_spark.lifecycle.ingest import (
+        ingest_datasets,
+        latest_slice,
+    )
+
+    payloads = {"title_basics": b"tconst\tstartYear\nt1\t1994\n"}
+    etags = {"title_basics": "e1"}
+
+    def fetcher(name):
+        data = gzip.compress(payloads[name])
+        meta = {"etag": etags[name], "content_length": len(data)}
+        return meta, lambda: iter([data[:10], data[10:]])
+
+    lake = str(tmp_path / "raw")
+    r1 = ingest_datasets(["title_basics"], fetcher, lake, "2024-01-15")
+    assert r1.statuses == {"title_basics": "downloaded"}
+    slice_dir = latest_slice(lake, "title_basics")
+    assert slice_dir.endswith("run_date=2024-01-15")
+
+    # unchanged remote → skipped, latest pointer NOT advanced
+    r2 = ingest_datasets(["title_basics"], fetcher, lake, "2024-01-16")
+    assert r2.statuses == {"title_basics": "skipped_unchanged"}
+    assert latest_slice(lake, "title_basics").endswith("2024-01-15")
+    m = json.load(open(r2.manifest_path))
+    assert m["status_counts"] == {"skipped_unchanged": 1}
+
+    # changed remote → downloaded again, pointer advances
+    etags["title_basics"] = "e2"
+    r3 = ingest_datasets(["title_basics"], fetcher, lake, "2024-01-17")
+    assert r3.statuses == {"title_basics": "downloaded"}
+    assert latest_slice(lake, "title_basics").endswith("2024-01-17")
+    assert json.load(open(r3.manifest_path))["files"]["title_basics"]["md5"]
+
+
+def test_ingested_tsv_reads_into_spark(spark, tmp_path):
+    import gzip
+
+    from aws_imdb_data_pipeline_spark.lifecycle.ingest import (
+        ingest_datasets,
+        latest_slice,
+    )
+    from aws_imdb_data_pipeline_spark.sources import read_imdb_tsv
+
+    tsv = "tconst\tstartYear\nt1\t1994\nt2\t\\N\n"
+
+    def fetcher(name):
+        data = gzip.compress(tsv.encode())
+        return {"etag": "x", "content_length": len(data)}, lambda: iter([data])
+
+    lake = str(tmp_path / "raw2")
+    ingest_datasets(["title_basics"], fetcher, lake, "2024-02-01")
+    df = read_imdb_tsv(spark, latest_slice(lake, "title_basics"))
+    rows = {r.tconst: r.startYear for r in df.collect()}
+    assert rows == {"t1": "1994", "t2": None}
