@@ -171,8 +171,13 @@ def minhash_signatures(
     benched ~20x faster and is the one that scales.)
     """
     ex = shingled.select(F.col(id_col), F.explode(shingles_col).alias("__sh"))
+    # hash each shingle string ONCE, then derive the per-seed
+    # permutations by hashing the resulting 8-byte long with the seed —
+    # far cheaper than running the string through xxhash 64 times
+    # (and overflow-free under ANSI, unlike multiply-mix)
+    ex = ex.select(F.col(id_col), F.xxhash64("__sh").alias("__h"))
     aggs = [
-        F.min(F.xxhash64("__sh", F.lit(s))).alias(f"__h{s}")
+        F.min(F.xxhash64(F.col("__h"), F.lit(s))).alias(f"__h{s}")
         for s in range(num_hashes)
     ]
     return (
