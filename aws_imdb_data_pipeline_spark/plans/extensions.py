@@ -284,3 +284,95 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
         dim=64, k=5, n_planes=4, probe_radius=1,
     )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents WHERE doc_id < 30
+    ),
+    sh AS (
+        SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
+        FROM w a
+        JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_both
+        FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_both * 1.0 / (sa.n + sb.n - n_both) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_both > 0
+    """,
+    operators=("EXT-dedup", "F1"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for every overlapping doc pair among
+    doc_id < 30 — the verification kernel of the MinHash pipeline,
+    exposed directly and SQL-verified. Raw int-quotient output
+    (cross-engine bitwise-stable)."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import shingle_docs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = shingle_docs(docs, "doc_id", "text", k=3)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__shingles").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                * F.lit(1.0)
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0)
+    )
+
+
+@register(
+    "multimodal_doc_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS payload_bytes,
+           512 AS feature_dim
+    FROM documents
+    """,
+    operators=("EXT-multimodal",),
+)
+def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing driven end-to-end with an oracle: text
+    encoded to binary payloads, features extracted via Arrow-batched
+    mapInPandas (the stub decode kernel), verifiable sizes out.
+    Proves schema/batching/UDF signature against SQL semantics
+    (payload hash is engine-specific and excluded here)."""
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "payload_bytes",
+        "feature_dim",
+    )

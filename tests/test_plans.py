@@ -1,0 +1,78 @@
+"""Physical-plan audits: the optimizations the engine is designed
+around must actually appear in the executed plans. Guards against
+regressions that stay correct but stop scaling (a broadcast that
+becomes a sort-merge + shuffle, a top-k that becomes a global sort,
+pruning that stops reaching the scan)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from aws_imdb_data_pipeline_spark.plans import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "query,required",
+    [
+        # dimension joins broadcast — no shuffle on the fact side
+        ("top_parts_by_brand_revenue", ["BroadcastHashJoin", "HashAggregate"]),
+        ("shipping_priority", ["BroadcastHashJoin", "TakeOrderedAndProject"]),
+        ("orders_enriched", ["BroadcastHashJoin"]),
+        # rank-filter pushdown bounds the window's shuffle input
+        ("top_parts_by_brand_revenue", ["WindowGroupLimit"]),
+        ("top_lines_per_order", ["WindowGroupLimit"]),
+        # global top-k is a real top-k, not a sort
+        ("top_orders_banded", ["TakeOrderedAndProject"]),
+        # single-pass global aggregate
+        ("dq_profile_orders", ["HashAggregate"]),
+        # anti/semi joins plan as such
+        ("customers_without_orders", ["BroadcastHashJoin LeftAnti"]),
+        ("parts_with_orders_semi", ["LeftSemi"]),
+        # rollup/cube expand, then aggregate once
+        ("sales_rollup", ["Expand", "HashAggregate"]),
+    ],
+)
+def test_plan_contains(spark, sf_dir, query, required):
+    plan = plan_of(spark, sf_dir, query)
+    for fragment in required:
+        assert fragment in plan, f"{query}: expected {fragment} in plan\n{plan[:2000]}"
+
+
+def test_no_global_sort_in_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_orders_banded")
+    # TakeOrderedAndProject only; a standalone global Sort would mean
+    # the limit stopped pushing into the sort
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\(\d+\) Sort\b", plan)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1500]
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus",
+    }
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filtered_parts")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:1500]
+    pushed = m.group(1)
+    assert "GreaterThanOrEqual(p_size,10)" in pushed
+    assert "In(p_type" in pushed
