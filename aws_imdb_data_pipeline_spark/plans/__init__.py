@@ -16,6 +16,7 @@ from aws_imdb_data_pipeline_spark.plans.registry import (
 # Populate the registry (order matters only for display).
 from aws_imdb_data_pipeline_spark.plans import relational  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import relational2  # noqa: E402,F401
+from aws_imdb_data_pipeline_spark.plans import relational3  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import quality  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import extensions  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import streaming_batch  # noqa: E402,F401

@@ -1,0 +1,196 @@
+"""Third relational batch: TPC-H-shaped composite queries exercising
+multi-join chains, conditional-aggregate ratios, correlated-subquery
+patterns (decorrelated to joins), and zero-preserving distributions —
+the shapes a complete engine must plan well at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: snowflake join chain + grouped revenue
+# ---------------------------------------------------------------------------
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    operators=("J3", "J2", "A1", "P2"),
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table snowflake chain filtered to one region. The region
+    filter reaches nation through the broadcast chain BEFORE touching
+    the fact table — only matching customers survive to the fact join,
+    so the big side shuffles once (orderkey) and probes broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate ratio
+# ---------------------------------------------------------------------------
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END), 4)
+           / ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    operators=("A6", "A7", "P9"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum ratio in one scan (sum(when)/sum). Both sums
+    rounded before the division (4-decimal true values → tie-free),
+    quotient emitted raw for cross-engine stability."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4)
+            / F.round(F.sum(rev), 4)
+        ).alias("promo_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery, decorrelated
+# ---------------------------------------------------------------------------
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH avg_per_part AS (
+        SELECT l_partkey, ROUND(SUM(l_quantity), 4) / COUNT(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    JOIN avg_per_part USING (l_partkey)
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    operators=("A12", "J1", "A1"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Lines below half the part's average quantity' — the correlated
+    scalar subquery decorrelated into an aggregate + self-join, which
+    is exactly how an optimizer executes it. The aggregate side is
+    small (one row per part) → broadcast back onto the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_per_part = li.groupBy("l_partkey").agg(
+        (F.round(F.sum("l_quantity"), 4) / F.count("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_per_part), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: zero-preserving distribution via left join
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    operators=("J1", "A3", "A1"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of orders-per-customer INCLUDING zero-order customers
+    (left join + count of the nullable key — count(col) skips NULLs,
+    so no-match rows contribute 0, not 1)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item ranking
+# ---------------------------------------------------------------------------
+@register(
+    "top_return_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS returned_revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY returned_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    operators=("J3", "A1", "O1", "P2"),
+)
+def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of returned items per customer, top-20. The returnflag
+    filter pushes into the fact scan (PushedFilters) before any join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                4,
+            ).alias("returned_revenue")
+        )
+        .orderBy(F.desc("returned_revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
