@@ -42,6 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Runtime-settable; required even when the session wasn't built
         # by our factory (e.g. the correctness driver's bare session).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # date_trunc/window operate in session-local time; pin UTC so
+        # window starts are host-timezone-independent (matches how SQL
+        # engines treat these naive parquet timestamps).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
