@@ -99,3 +99,22 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp64") ->
     (collapse whitespace, lowercase). Exact-dup detection key."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn(out_col, F.xxhash64(norm))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token counting: alphabetic runs, digit runs, and
+    individual punctuation marks each count as one token (the
+    whitespace-free approximation of a BPE pre-tokenizer). Pure
+    regexp_extract_all — JVM-side, no UDF."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return df.withColumns(
+        {
+            "n_bpe_tokens": F.size(toks),
+            "n_alpha_tokens": F.size(
+                F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+            ),
+        }
+    )

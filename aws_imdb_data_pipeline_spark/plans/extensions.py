@@ -376,3 +376,26 @@ def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_bytes",
         "feature_dim",
     )
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_filter(
+                    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                    t -> regexp_matches(t, '^[A-Za-z]+$')))
+               AS INTEGER) AS n_alpha_tokens
+    FROM documents
+    """,
+    operators=("EXT-text",),
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer-style token counts (alpha runs / digit runs /
+    punctuation marks), oracle-verified regex semantics."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_ish_token_count(docs).drop("text")

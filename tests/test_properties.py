@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the scalar-function library
+and dedup invariants — inputs the fixture files would never contain."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.functions.cleaning import (
+    banding,
+    null_sentinel_cast,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.just(r"\N"),
+            st.text(alphabet=" \t", max_size=3),
+            st.integers(-10**6, 10**6).map(str),
+            st.text(max_size=8),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_null_sentinel_cast_never_errors_and_is_null_or_int(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "x: string")
+    out = [r.v for r in df.select(null_sentinel_cast("x", "int").alias("v")).collect()]
+    for inp, got in zip(values, out):
+        if inp is None or inp == r"\N" or (inp is not None and inp.strip() == ""):
+            assert got is None
+        elif got is not None:
+            assert got == int(inp.strip())  # only valid ints survive
+
+
+@given(
+    bounds=st.lists(
+        st.integers(-100, 100), min_size=1, max_size=4, unique=True
+    ).map(lambda xs: sorted(xs, reverse=True)),
+    values=st.lists(st.integers(-150, 150), min_size=1, max_size=10),
+)
+@SLOW
+def test_banding_is_total_and_ordered(spark, bounds, values):
+    labels = [f"b{i}" for i in range(len(bounds) + 1)]
+    df = spark.createDataFrame([(float(v),) for v in values], "x: double")
+    out = [
+        r.b
+        for r in df.select(banding("x", [float(b) for b in bounds], labels).alias("b")).collect()
+    ]
+    for v, got in zip(values, out):
+        expected = labels[-1]
+        for i, b in enumerate(bounds):
+            if v >= b:
+                expected = labels[i]
+                break
+        assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_fingerprint_partitions_by_normalized_content(spark, texts):
+    from aws_imdb_data_pipeline_spark.extensions.textstats import fingerprint
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = fingerprint(df).collect()
+    norm = lambda t: " ".join(t.split()).lower() if t.split() else ""
+    by_fp: dict[int, set[str]] = {}
+    for r in rows:
+        by_fp.setdefault(r.fp64, set()).add(norm(texts[r.doc_id]))
+    # one fingerprint never spans two distinct normalized contents
+    assert all(len(contents) == 1 for contents in by_fp.values())
