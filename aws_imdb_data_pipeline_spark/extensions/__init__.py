@@ -15,6 +15,10 @@ from aws_imdb_data_pipeline_spark.extensions.similarity import (
     cosine_topk_lsh,
     embedding_near_dup_pairs,
 )
+from aws_imdb_data_pipeline_spark.extensions.ivf import (
+    build_ivf_assignments,
+    cosine_topk_ivf,
+)
 from aws_imdb_data_pipeline_spark.extensions.textstats import (
     token_stats,
     language_id,
@@ -35,6 +39,8 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_dup_pairs",
+    "build_ivf_assignments",
+    "cosine_topk_ivf",
     "token_stats",
     "language_id",
     "quality_score",

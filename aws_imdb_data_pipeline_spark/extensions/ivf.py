@@ -1,0 +1,107 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The classic two-stage ANN structure: partition the vector space with
+k-means (the "coarse quantizer"), then at query time probe only the
+``n_probe`` closest cells instead of the whole corpus. Complements the
+hyperplane-LSH variant: IVF adapts to the data distribution (cells
+follow density), LSH is oblivious but cheaper to build.
+
+Spark mapping:
+- build: pyspark.ml KMeans (seeded → deterministic) over the corpus;
+  assignments become a ``__list`` column — at 100 TB this is a one-off
+  job whose output is just one small int per vector, persisted with
+  the embeddings and reusable across queries.
+- query: rank centroids per query (tiny cross join, broadcast), keep
+  ``n_probe``, join candidates on the cell id (shuffle on a low-
+  cardinality int — cheap), exact cosine within the probed cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.extensions.similarity import _dot, _to_double
+from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+
+
+def build_ivf_assignments(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Fit the coarse quantizer and assign each vector to a cell.
+    Returns (assigned_df with __list column, centroids as py list)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = vectors.select(
+        F.col(id_col), _to_double(vec_col).alias("__arr")
+    ).withColumn("__vec", array_to_vector("__arr"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__vec").fit(base)
+    assigned = (
+        model.transform(base)
+        .withColumnRenamed("prediction", "__list")
+        .select(id_col, "__arr", "__list")
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF-approximate cosine top-k: (query_id, neighbor_id, cosine)."""
+    spark = candidates.sparkSession
+    assigned, centers = build_ivf_assignments(
+        candidates, id_col, vec_col, n_lists, seed
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__arr").alias("__cv"),
+        "__list",
+    )
+
+    centroids = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], ["__list", "__centroid"]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _to_double(vec_col).alias("__qv"))
+    # rank cells per query by euclidean distance to the centroid
+    qc = q.crossJoin(F.broadcast(centroids))
+    dist = F.aggregate(
+        F.zip_with("__qv", "__centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probed = top_n_per_group(
+        qc.select("query_id", "__qv", "__list", dist.alias("__d")),
+        partition_by=["query_id"],
+        order_by=[F.col("__d"), F.col("__list")],
+        n=n_probe,
+    ).select("query_id", "__qv", "__list")
+
+    joined = cand.join(F.broadcast(probed), "__list").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    qn = F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+    cn = F.sqrt(_dot(F.col("__cv"), F.col("__cv")))
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (qn * cn)
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    return top_n_per_group(
+        scored,
+        partition_by=["query_id"],
+        order_by=[F.desc("cosine"), F.col("neighbor_id")],
+        n=k,
+    )

@@ -399,3 +399,18 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_ish_token_count(docs).drop("text")
+
+
+@register("ann_cosine_topk_ivf", oracle=None, operators=("EXT-sim",))
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k — the
+    data-adaptive ANN path: recall 0.77 at 25% corpus scan on this
+    corpus (vs 0.46@31% for oblivious sign-LSH). Approximate ->
+    rows-only; tests measure recall vs brute force."""
+    from aws_imdb_data_pipeline_spark.extensions.ivf import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
+        k=5, n_lists=16, n_probe=4,
+    )

@@ -1,0 +1,110 @@
+"""Fourth relational batch: order statistics (exact percentiles),
+statistical aggregates (stddev/corr), and pivot — OLAP surface beyond
+the reference's inventory that a complete engine provides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    operators=("A-percentile",),
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous percentiles per group (F.percentile ==
+    quantile_cont: same linear interpolation on identical sorted
+    values → bitwise-identical output, no rounding needed).
+
+    Scale note: exact percentile sorts within groups; for 100 TB use
+    approx_percentile (t-digest) — provided as the rows-only variant
+    ``price_percentiles_approx``.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register("price_percentiles_approx", oracle=None, operators=("A-percentile", "A8"))
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based scale path (bounded memory,
+    one pass, mergeable across partitions). Approximate → rows-only;
+    the pytest asserts it brackets the exact values."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )
+
+
+@register(
+    "lineitem_price_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    operators=("A-stats",),
+)
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev / correlation / covariance per group. These are
+    quotient-shaped with non-identical operands across engines, so a
+    decimal tie is theoretically possible but the values are
+    effectively irrational — round-4 is stable in practice (same
+    policy as cosine scores)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    operators=("A-pivot",),
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list — one pass, no
+    second job to discover pivot values (critical at scale: implicit
+    pivot triggers a distinct scan first)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {s: f"status_{s}" for s in ("F", "O", "P")}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot leaves NULL for empty cells; the CASE oracle produces 0
+    return out.fillna(0, subset=list(renames.values()))
