@@ -225,24 +225,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list("__id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    # cap degenerate buckets (boilerplate/empty docs) BEFORE pairing —
+    # a b-row bucket yields b^2/2 pairs, so one hot bucket can dominate
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    bounded = banded.join(
+        sizes.filter((F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)),
+        ["band", "bucket"],
+    )  # no broadcast hint: bucket count grows with the corpus; AQE decides
+    # join-based pair generation: scales as a plain shuffle join on the
+    # (band, bucket) key instead of materializing per-bucket id arrays
+    a = bounded.select("band", "bucket", F.col("__id").alias("id_a"))
+    b = bounded.select("band", "bucket", F.col("__id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
     )
-    pairs = buckets.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))),
-                    )
-                ),
-                lambda p: p["id_a"] < p["id_b"],
-            )
-        ).alias("pair")
-    ).select(F.col("pair.id_a").alias("id_a"), F.col("pair.id_b").alias("id_b"))
     return pairs.distinct()
 
 

@@ -108,3 +108,43 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumnRenamed(old, new)
     # pivot leaves NULL for empty cells; the CASE oracle produces 0
     return out.fillna(0, subset=list(renames.values()))
+
+
+@register(
+    "events_range_window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+               AS sum_last_hour,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_last_hour
+    FROM events
+    """,
+    operators=("W4", "STR-window"),
+)
+def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE frame: per-user trailing-hour running sum/count —
+    ordered by epoch seconds with rangeBetween (ROWS frames count
+    rows; RANGE frames cover a value interval, the time-series shape).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
