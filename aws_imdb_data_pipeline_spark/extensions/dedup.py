@@ -226,12 +226,15 @@ def lsh_candidate_pairs(
         ).alias("band", "bucket"),
     )
     # cap degenerate buckets (boilerplate/empty docs) BEFORE pairing —
-    # a b-row bucket yields b^2/2 pairs, so one hot bucket can dominate
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
-    bounded = banded.join(
-        sizes.filter((F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)),
-        ["band", "bucket"],
-    )  # no broadcast hint: bucket count grows with the corpus; AQE decides
+    # a b-row bucket yields b^2/2 pairs, so one hot bucket can dominate.
+    # Window count shares the (band, bucket) shuffle with the pair join
+    # below instead of a separate aggregate + join.
+    from pyspark.sql import Window as _W
+
+    bn = F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
+    bounded = banded.withColumn("__bn", bn).filter(
+        (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)
+    )
     # join-based pair generation: scales as a plain shuffle join on the
     # (band, bucket) key instead of materializing per-bucket id arrays
     a = bounded.select("band", "bucket", F.col("__id").alias("id_a"))
