@@ -3,6 +3,7 @@ from aws_imdb_data_pipeline_spark.operators.latest import latest_run_filter
 from aws_imdb_data_pipeline_spark.operators.agg_patterns import (
     ordered_collect_concat,
     grouped_profile,
+    salted_aggregate,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "latest_run_filter",
     "ordered_collect_concat",
     "grouped_profile",
+    "salted_aggregate",
 ]

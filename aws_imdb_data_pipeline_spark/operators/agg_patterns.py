@@ -40,3 +40,30 @@ def grouped_profile(
 ) -> DataFrame:
     """Grouped multi-aggregate in one shuffle (glue.py:300-308)."""
     return df.groupBy(*group_by).agg(*aggs)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_by: Sequence[str],
+    sum_cols: Sequence[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted sum-aggregate for skewed keys.
+
+    Phase 1 groups on (keys, random salt) so a hot key's rows spread
+    over ``salt_buckets`` reducers; phase 2 merges the partials per
+    key. Count is carried so downstream averages stay exact. AQE's
+    skew handling covers joins; extreme aggregate skew (one key = 30%
+    of a 100 TB table) still needs this explicit spread.
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*group_by, "__salt").agg(
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return partial.groupBy(*group_by).agg(
+        *[F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("__n").alias("n_rows"),
+    )

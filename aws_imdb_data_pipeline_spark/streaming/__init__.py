@@ -6,6 +6,7 @@ from aws_imdb_data_pipeline_spark.streaming.events import (
     sliding_value_stats,
     sessionize,
     stream_events_from_dir,
+    stream_to_lake,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "sessionize",
     "stream_events_from_dir",
     "user_running_totals",
+    "stream_to_lake",
 ]

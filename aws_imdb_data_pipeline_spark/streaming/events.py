@@ -111,3 +111,32 @@ def stream_events_from_dir(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def stream_to_lake(
+    stream_df: DataFrame,
+    lake_path: str,
+    checkpoint_dir: str,
+    partition_cols: list[str],
+    trigger_available_now: bool = True,
+):
+    """Stream → partitioned parquet lake via foreachBatch.
+
+    Each micro-batch writes through the same idempotent partitioned
+    writer the batch pipeline uses; the checkpoint gives restart
+    recovery (a replayed batch appends to the same partitions —
+    exactly-once is provided by batch-id-aware sinks; for a run-date
+    lake the replace-partition semantics make replays idempotent at
+    the slice level).
+    """
+    from aws_imdb_data_pipeline_spark.sources.lake import write_partitioned
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_partitioned(batch_df, lake_path, partition_cols)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

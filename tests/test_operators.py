@@ -65,3 +65,26 @@ def test_ordered_collect_concat(spark):
         for r in ordered_collect_concat(df, ["k"], "o", "v", "joined").collect()
     }
     assert out == {"x": "a, b, c", "y": "z"}
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators.agg_patterns import salted_aggregate
+
+    # skewed: key 'hot' holds 90% of rows
+    rows = [("hot", float(i % 7)) for i in range(900)] + [
+        (f"k{i%10}", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    salted = {
+        r.k: (round(r.sum_v, 6), r.n_rows)
+        for r in salted_aggregate(df, ["k"], ["v"], salt_buckets=8).collect()
+    }
+    plain = {
+        r.k: (round(r.sum_v, 6), r.n_rows)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert salted == plain

@@ -135,3 +135,32 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
     want = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in expected.collect()}
     assert got == want
+
+
+def test_stream_to_lake_foreachbatch(spark, sf_dir, tmp_path):
+    """foreachBatch streaming sink lands partitioned parquet equal to
+    the batch write of the same data."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.streaming.events import stream_to_lake
+
+    batch_events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    src = str(tmp_path / "lake_stream_src")
+    batch_events.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_events_from_dir(spark, src, schema, max_files_per_trigger=1)
+    lake = str(tmp_path / "stream_lake")
+    q = stream_to_lake(
+        stream, lake, str(tmp_path / "ckpt"), partition_cols=["event_date"]
+    )
+    q.awaitTermination(180)
+    landed = spark.read.parquet(lake)
+    assert landed.count() == batch_events.count()
+    assert "event_date" in landed.columns
+    import os
+
+    assert any(d.startswith("event_date=") for d in os.listdir(lake))
