@@ -4,6 +4,10 @@ from aws_imdb_data_pipeline_spark.sources.lake import (
     write_partitioned,
     replace_run_partition,
 )
+from aws_imdb_data_pipeline_spark.sources.bucketed import (
+    write_bucketed_table,
+    bucketed_join,
+)
 
 __all__ = [
     "TABLES",
@@ -12,4 +16,6 @@ __all__ = [
     "read_imdb_tsv",
     "write_partitioned",
     "replace_run_partition",
+    "write_bucketed_table",
+    "bucketed_join",
 ]

@@ -76,3 +76,49 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     pushed = m.group(1)
     assert "GreaterThanOrEqual(p_size,10)" in pushed
     assert "In(p_type" in pushed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Same-bucketed tables join without a shuffle: the plan must not
+    contain an Exchange on either join input."""
+    import contextlib
+    import io
+
+    from aws_imdb_data_pipeline_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed_table,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    # warehouse dir is a static conf; managed test tables are dropped
+    # (with data) at the end instead
+    for t in ("t_bkt_orders", "t_bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "okey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(orders, "t_bkt_orders", "okey", num_buckets=4)
+        write_bucketed_table(li, "t_bkt_lineitem", "okey", num_buckets=4)
+
+        # at test scale the optimizer (rightly) prefers broadcast;
+        # disable it to expose the bucket-co-location path that matters
+        # when BOTH sides are too big to broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_bkt_lineitem", "t_bkt_orders", "okey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        # and it actually computes
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        for t in ("t_bkt_orders", "t_bkt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
