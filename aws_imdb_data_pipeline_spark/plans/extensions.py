@@ -414,3 +414,34 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
         k=5, n_lists=16, n_probe=4,
     )
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 100 AND b.p_partkey < 100
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    operators=("EXT-dedup", "F-fuzzy"),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (F.levenshtein — identical DP
+    semantics across engines). Bounded to a small key range: pairwise
+    edit distance is the verify kernel; at scale, candidates come from
+    the LSH/fingerprint paths first."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    a = part.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 3)
+    )
