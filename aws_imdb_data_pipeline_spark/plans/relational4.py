@@ -148,3 +148,31 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
     )
+
+
+@register(
+    "salted_revenue_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 4) AS sum_l_extendedprice,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    operators=("A1", "SKEW-salt"),
+)
+def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.salted_aggregate): the
+    salt spreads a hot key over 16 reducers in phase 1, phase 2 merges
+    partials — results provably equal the plain GROUP BY (this oracle).
+    l_returnflag has 3 values over 600k rows: exactly the
+    low-cardinality-hot-key shape that needs salting at 100 TB."""
+    from aws_imdb_data_pipeline_spark.operators.agg_patterns import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(li, ["l_returnflag"], ["l_extendedprice"], 16)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_extendedprice", 4).alias("sum_l_extendedprice"),
+        "n_rows",
+    )

@@ -51,6 +51,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        # compare dtype *kind* (int/float/object/datetime/bool): width
+        # differences (int32 vs int64) matter, so flag exact dtype too
+        if str(s[c].dtype) != str(d[c].dtype):
+            problems.append(f"dtype col {c}: spark={s[c].dtype} duck={d[c].dtype}")
+    if problems:
+        return problems
+    for c in s.columns:
         sv, dv = s[c], d[c]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             a = sv.astype(float).to_numpy()
