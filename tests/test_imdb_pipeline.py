@@ -176,3 +176,62 @@ def test_model_layer(raw, movies, spark):
     ).collect()
     by_name = {r.primaryName: r.n_genres for r in va}
     assert by_name["Ada One"] == 2  # Drama + Crime via tt0000001
+
+
+def test_sql_models_match_dataframe_models(raw, movies, episodes, spark):
+    """The SQL-text model layer (spark.sql) produces the same results
+    as the DataFrame model layer."""
+    from aws_imdb_data_pipeline_spark.pipelines.models import (
+        episode_season_trends,
+        movie_facts_anl,
+        movie_facts_view,
+        top_movies_by_genre,
+    )
+    from aws_imdb_data_pipeline_spark.pipelines.sql_models import run_models
+    from aws_imdb_data_pipeline_spark.pipelines import season_rollup
+
+    movies.createOrReplaceTempView("analytics_movie_facts")
+    episodes.createOrReplaceTempView("analytics_episode_facts")
+    season_rollup(episodes).createOrReplaceTempView("series_season_summary")
+
+    out = run_models(spark)
+
+    # view model ≡ DataFrame model
+    sql_view = out["marts_movie_facts_view"]
+    df_view = movie_facts_view(movies)
+    assert sorted(r.tconst for r in sql_view.select("tconst").collect()) == sorted(
+        r.tconst for r in df_view.select("tconst").collect()
+    )
+
+    # top-25 model ≡ DataFrame model (same rank keys)
+    sql_top = {
+        (r.genre, r.decade, r.tconst, r.rn)
+        for r in out["marts_top_movies_by_genre"].select("genre", "decade", "tconst", "rn").collect()
+    }
+    df_top = {
+        (r.genre, r.decade, r.tconst, r.rn)
+        for r in top_movies_by_genre(df_view).select("genre", "decade", "tconst", "rn").collect()
+    }
+    assert sql_top == df_top
+
+    # banding model ≡ DataFrame model
+    sql_anl = {
+        r.tconst: (r.vote_bucket, r.rating_band, r.decade_label)
+        for r in out["movie_facts_anl"].collect()
+    }
+    df_anl = {
+        r.tconst: (r.vote_bucket, r.rating_band, r.decade_label)
+        for r in movie_facts_anl(movies).collect()
+    }
+    assert sql_anl == df_anl
+
+    # trends model ≡ DataFrame model
+    sql_tr = {
+        (r.seriesId, r.seasonNumber): (r.avg_rating, r.episodes)
+        for r in out["marts_episode_season_trends"].collect()
+    }
+    df_tr = {
+        (r.seriesId, r.seasonNumber): (r.avg_rating, r.episodes)
+        for r in episode_season_trends(episodes).collect()
+    }
+    assert sql_tr == df_tr
