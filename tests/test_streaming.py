@@ -164,3 +164,48 @@ def test_stream_to_lake_foreachbatch(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("event_date=") for d in os.listdir(lake))
+
+
+def test_append_mode_emits_only_closed_windows(spark, tmp_path):
+    """Append mode + watermark: a window is emitted exactly once, only
+    after the watermark passes its end — the semantics a parquet sink
+    needs (no in-place updates)."""
+    from pyspark.sql import functions as F
+
+    # two files processed in order: first events at 00:00-01:00, then
+    # a late batch at 03:00 that pushes the watermark past hour 0-1
+    early = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i:02d}:00") for i in range(10)],
+        ["event_id", "ts_s"],
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    late = spark.createDataFrame(
+        [(100 + i, f"2024-01-01 03:{i:02d}:00") for i in range(5)],
+        ["event_id", "ts_s"],
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    src = str(tmp_path / "append_src")
+    early.coalesce(1).write.parquet(src + "/f=1")
+    late.coalesce(1).write.parquet(src + "/f=2")
+    schema = early.schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r.ws): r.n for r in spark.table("t_append").collect()}
+    # hour-0 window closed by the hour-3 data → emitted with all 10;
+    # hour-3 window still open at end-of-stream → NOT emitted
+    assert rows.get("2024-01-01 00:00:00") == 10
+    assert "2024-01-01 03:00:00" not in rows
