@@ -75,3 +75,22 @@ def test_validate_gate_raises(spark):
     with pytest.raises(AssertionError, match="not_null"):
         validate([expect_not_null(df, "k")])
     validate([expect_min_rows(df, 1)])  # passes silently
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    """The t-digest approx percentile stays within the group's value
+    range and near the exact percentile."""
+    from aws_imdb_data_pipeline_spark.plans import REGISTRY
+
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in REGISTRY["price_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in REGISTRY["price_percentiles_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) <= 0.05 * max(abs(e), 1.0)  # within 5%
