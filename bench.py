@@ -29,6 +29,8 @@ HEADLINE = [
     "max_line_flag",
     "order_part_names",
     "orders_enriched",
+    "regional_revenue",
+    "nation_trade_volume",
     "dq_profile_union_approx",
     "events_hourly_counts",
     "events_sliding_stats",
