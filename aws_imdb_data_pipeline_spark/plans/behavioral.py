@@ -1,0 +1,112 @@
+"""Behavioral event analytics: funnels and retention cohorts — the
+product-analytics queries an events table exists for. Both reduce to
+grouped min-timestamps + conditional aggregation (single shuffle on
+user_id), fully oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "user_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS viewed,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM per_user
+    """,
+    operators=("A6", "A1", "EXT-behavioral"),
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel: first-occurrence
+    timestamps per stage per user (one conditional-min aggregate),
+    then ordered-stage counts. One shuffle on user_id; NULL-safe
+    comparisons (a missing stage never counts)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).cast("long").alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("long").alias("clicked_after_view"),
+        F.sum(F.when(purchased, 1).otherwise(0))
+        .cast("long")
+        .alias("purchased_after_click"),
+    )
+
+
+@register(
+    "daily_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS INTEGER) AS day_offset,
+           COUNT(*) AS active_users
+    FROM activity
+    WHERE day_offset IN (0, 1, 7)
+    GROUP BY cohort_day, day_offset
+    """,
+    operators=("A1", "J1", "EXT-behavioral"),
+)
+def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    day 0 / 1 / 7 offsets. The first-seen aggregate is small (one row
+    per user) → broadcast back onto the event scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").isin(0, 1, 7))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
