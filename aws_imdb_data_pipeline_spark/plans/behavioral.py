@@ -110,3 +110,85 @@ def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "asof_view_before_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, v.view_value AS last_view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    operators=("J-asof", "EXT-behavioral"),
+)
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: each purchase annotated with the most recent prior
+    view's value for that user — the merge-scan composition
+    (operators.temporal.asof_join: one shuffle+sort, linear), verified
+    against DuckDB's native ASOF JOIN."""
+    from aws_imdb_data_pipeline_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_value_cols=["view_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("view_value").alias("last_view_value")
+    )
+
+
+@register(
+    "click_purchase_interval_pairs",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+    """,
+    operators=("J-range", "EXT-behavioral"),
+)
+def click_purchase_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE/interval join: (click, purchase) pairs for the same user
+    within one hour — bucketed equi-join composition
+    (operators.temporal.interval_join), verified against DuckDB's
+    inequality join."""
+    from aws_imdb_data_pipeline_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    pairs = interval_join(
+        purchases, clicks, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        max_gap_seconds=3600, direction="forward",
+    )
+    return pairs.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.floor(
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1_000_000
+        ).alias("gap_seconds"),
+    )

@@ -88,3 +88,72 @@ def test_salted_aggregate_matches_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_asof_join_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"),
+         (2, "2024-01-01 09:00:00")],
+        ["k", "ts_s"],
+    ).select("k", F.col("ts_s").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:59:00", 10.0), (1, "2024-01-01 10:05:00", 20.0),
+         (2, "2024-01-01 12:00:00", 99.0)],
+        ["k", "ts_s", "v"],
+    ).select("k", F.col("ts_s").cast("timestamp").alias("rts"), "v")
+    out = {
+        (r.k, str(r.lts)): r.v
+        for r in asof_join(left, right, ["k"], "lts", "rts", ["v"]).collect()
+    }
+    assert out[(1, "2024-01-01 10:00:00")] == 10.0   # strictly earlier match
+    assert out[(1, "2024-01-01 10:05:00")] == 20.0   # equal ts is inclusive
+    assert out[(2, "2024-01-01 09:00:00")] is None   # future rows never match
+
+
+def test_asof_join_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00")], ["k", "ts_s"]).select(
+        "k", F.col("ts_s").cast("timestamp").alias("lts")
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", 5.0)], ["k", "ts_s", "v"]
+    ).select("k", F.col("ts_s").cast("timestamp").alias("rts"), "v")
+    strict = asof_join(
+        left, right, ["k"], "lts", "rts", ["v"], tolerance_seconds=3600
+    ).first()
+    assert strict.v is None  # 2h-old match rejected by 1h tolerance
+    loose = asof_join(
+        left, right, ["k"], "lts", "rts", ["v"], tolerance_seconds=7201
+    ).first()
+    assert loose.v == 5.0
+
+
+def test_interval_join_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:10:00")], ["k", "lid", "ts_s"]
+    ).select("k", "lid", F.col("ts_s").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, 200, "2024-01-01 10:00:00"),   # 600s before → in (gap=600)
+         (1, 201, "2024-01-01 09:59:59"),   # 601s before → out
+         (1, 202, "2024-01-01 10:10:00"),   # same instant → in
+         (1, 203, "2024-01-01 10:11:00")],  # after left → out (forward)
+        ["k", "rid", "ts_s"],
+    ).select("k", "rid", F.col("ts_s").cast("timestamp").alias("rts"))
+    out = {
+        r.rid
+        for r in interval_join(
+            left, right, ["k"], "lts", "rts", max_gap_seconds=600
+        ).collect()
+    }
+    assert out == {200, 202}
