@@ -209,3 +209,53 @@ def test_append_mode_emits_only_closed_windows(spark, tmp_path):
     # hour-3 window still open at end-of-stream → NOT emitted
     assert rows.get("2024-01-01 00:00:00") == 10
     assert "2024-01-01 03:00:00" not in rows
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with an event-time range condition and
+    watermarks — the streaming counterpart of operators.temporal
+    .interval_join (state bounded by the watermark + time range)."""
+    from pyspark.sql import functions as F
+
+    clicks = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (1, 11, "2024-01-01 10:30:00"),
+         (2, 12, "2024-01-01 10:00:00")],
+        ["user_id", "click_id", "ts_s"],
+    ).select("user_id", "click_id", F.col("ts_s").cast("timestamp").alias("c_ts"))
+    purchases = spark.createDataFrame(
+        [(1, 20, "2024-01-01 10:05:00"),   # 5min after click 10 → match
+         (2, 21, "2024-01-01 11:30:00")],  # 90min after click 12 → no match
+        ["user_id", "purchase_id", "ts_s"],
+    ).select("user_id", "purchase_id", F.col("ts_s").cast("timestamp").alias("p_ts"))
+
+    c_src, p_src = str(tmp_path / "c"), str(tmp_path / "p")
+    clicks.coalesce(1).write.parquet(c_src)
+    purchases.coalesce(1).write.parquet(p_src)
+
+    c_stream = (
+        spark.readStream.schema(clicks.schema).parquet(c_src)
+        .withWatermark("c_ts", "2 hours")
+    )
+    p_stream = (
+        spark.readStream.schema(purchases.schema).parquet(p_src)
+        .withWatermark("p_ts", "2 hours")
+    )
+    p_stream = p_stream.withColumnRenamed("user_id", "p_user_id")
+    joined = c_stream.join(
+        p_stream,
+        F.expr(
+            "user_id = p_user_id AND "
+            "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
+        ),
+    )
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.purchase_id) for r in spark.table("t_ss_join").collect()}
+    assert got == {(10, 20), (11, 20)}  # purchase 20 within 1h of clicks 10+11
