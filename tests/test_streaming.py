@@ -258,4 +258,6 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {(r.click_id, r.purchase_id) for r in spark.table("t_ss_join").collect()}
-    assert got == {(10, 20), (11, 20)}  # purchase 20 within 1h of clicks 10+11
+    # only click 10 (10:00) precedes purchase 20 (10:05) within 1h;
+    # click 11 is after the purchase, user 2's purchase is 90min late
+    assert got == {(10, 20)}
