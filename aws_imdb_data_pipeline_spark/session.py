@@ -58,11 +58,11 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # Local rig: match core count. (Measured: halving to cores/2
-        # looked faster in a sequential two-session experiment but
-        # that was JIT warmth, not partitioning — full cold benches
-        # run ~20% FASTER at cores than cores/2.) AQE coalesces below
-        # this at runtime. On a real cluster, ~2-3x total cores.
+        # Local rig: match core count. Partition-count A/B tests at
+        # sf0.1 were dominated by JIT warmth and co-tenant host load
+        # (same setting varied 20s..28s); with no clean signal, core
+        # count is the principled default and AQE coalesces below it
+        # at runtime. On a real cluster, ~2-3x total cores.
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     builder = SparkSession.builder.appName(app_name).master(master)
