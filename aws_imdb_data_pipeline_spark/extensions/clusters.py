@@ -1,0 +1,74 @@
+"""Connected components over near-duplicate pair graphs.
+
+Dedup pipelines emit PAIRS (a ~ b); consolidation needs GROUPS: the
+transitive closure of ~, i.e. connected components, from which one
+survivor per component is kept. Large-scale CC here is iterative
+min-label propagation:
+
+    label(v) := min(label(v), min over neighbors(label(u)))
+
+repeated until fixpoint. Each iteration is one join + one aggregate
+(all DataFrame ops); iteration count is the graph diameter, which for
+near-dup graphs is tiny (dup clusters are cliques or near-cliques).
+The loop is driver-side CONTROL only — the data never leaves
+executors. Each generation is localCheckpoint()ed: persisting alone
+does NOT truncate the logical plan, and the nested lineage of an
+iterative algorithm grows until plan compilation itself OOMs (~30
+iterations sufficed). Checkpointing resets the plan to the
+materialized blocks — the same discipline GraphX applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component is the
+    minimum node id reachable from the node (a canonical label)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per generation
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("label").alias("component"))

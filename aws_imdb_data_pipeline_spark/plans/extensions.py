@@ -445,3 +445,76 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= 3)
     )
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents WHERE doc_id < 30
+    ),
+    sh AS (
+        SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
+        FROM w a
+        JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT i.id_a, i.id_b
+        FROM (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_both
+            FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ) i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.n_both > 0
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    operators=("EXT-dedup", "EXT-graph"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-3-gram pairs (any overlap, doc_id < 30)
+    consolidated into connected components via iterative min-label
+    propagation — verified against a recursive-CTE transitive closure.
+    The component label (min reachable id) IS the canonical survivor."""
+    from aws_imdb_data_pipeline_spark.extensions.clusters import (
+        connected_components,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        jaccard_on_shingles,
+        shingle_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = shingle_docs(docs, "doc_id", "text", k=3)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__shingles").alias("sh_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0)
+    )
+    return connected_components(pairs).withColumnRenamed("node", "doc_id")

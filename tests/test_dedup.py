@@ -116,3 +116,30 @@ def test_simhash_hamming_properties(spark):
     assert (1, 2) in got
     assert all(r.hamming <= 3 for r in pairs)
     assert not any(4 in p for p in got)
+
+
+def test_connected_components_known_graph(spark):
+    from aws_imdb_data_pipeline_spark.extensions.clusters import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} via chain, {10,11}, 20 isolated-by-self-pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from aws_imdb_data_pipeline_spark.extensions.clusters import (
+        connected_components,
+    )
+
+    # a 30-node path: diameter 29 → needs multiple label iterations
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.component for r in connected_components(pairs, max_iterations=40).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 31
