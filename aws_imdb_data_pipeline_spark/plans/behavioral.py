@@ -192,3 +192,64 @@ def click_purchase_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1_000_000
         ).alias("gap_seconds"),
     )
+
+
+@register(
+    "session_conversion",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 5 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_no,
+               CAST(MIN(ts) AS DATE) AS session_day,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT CAST(session_day AS VARCHAR) AS session_day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS converted_sessions,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM sessions
+    GROUP BY session_day
+    """,
+    operators=("STR-session", "A6", "EXT-behavioral"),
+)
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session conversion: gap-based sessions (session_window)
+    with an in-session purchase flag, rolled up to daily conversion
+    rates. Two shuffles total (sessionize on user, rollup on day);
+    the rate is an int-ratio raw quotient (cross-engine stable)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), F.col("user_id")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return (
+        sessions.groupBy(
+            F.date_format(F.col("w.start").cast("date"), "yyyy-MM-dd").alias(
+                "session_day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").cast("long").alias("converted_sessions"),
+            (F.sum("converted") / F.count(F.lit(1))).alias("conversion_rate"),
+        )
+    )
