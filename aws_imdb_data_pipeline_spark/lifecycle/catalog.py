@@ -15,11 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def register_lake_table(
-    spark: SparkSession, name: str, path: str, refresh_partitions: bool = True
+    spark: SparkSession,
+    name: str,
+    path: str,
+    refresh_partitions: bool = True,
+    analyze: bool = False,
 ) -> DataFrame:
     """Register a Hive-partitioned parquet directory as catalog table
     ``name`` (idempotent). Partition columns are discovered from the
-    directory layout; MSCK REPAIR syncs the partition metadata."""
+    directory layout; MSCK REPAIR syncs the partition metadata.
+
+    ``analyze=True`` runs ANALYZE TABLE COMPUTE STATISTICS so the
+    cost-based optimizer (joinReorder, broadcast decisions) has
+    rowCount/sizeInBytes — one extra scan at registration time that
+    pays for itself across every subsequent multi-join query."""
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {name} USING PARQUET LOCATION '{path}'"
     )
@@ -29,6 +38,8 @@ def register_lake_table(
         except Exception:
             # non-partitioned layout — nothing to repair
             pass
+    if analyze:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
     return spark.table(name)
 
 

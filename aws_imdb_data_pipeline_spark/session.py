@@ -34,6 +34,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Partition discovery/pruning over the parquet lake.
     "spark.sql.parquet.filterPushdown": "true",
+    # Cost-based join reordering: inert without table stats, effective
+    # once lifecycle.catalog.register_lake_table(analyze=True) has
+    # recorded rowCount/size (the Spark-side ANALYZE TABLE step).
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
     # Parquet TIMESTAMP(NANOS) columns surface as long (ns since epoch);
     # sources.tables converts them to microsecond timestamps by
     # truncation, matching how SQL engines (e.g. DuckDB) read the same

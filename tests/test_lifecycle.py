@@ -142,3 +142,18 @@ def test_ingested_tsv_reads_into_spark(spark, tmp_path):
     df = read_imdb_tsv(spark, latest_slice(lake, "title_basics"))
     rows = {r.tconst: r.startYear for r in df.collect()}
     assert rows == {"t1": "1994", "t2": None}
+
+
+def test_register_with_analyze_records_stats(spark, tmp_path):
+    from aws_imdb_data_pipeline_spark.sources.lake import write_partitioned
+
+    lake = str(tmp_path / "stats_lake")
+    df = spark.createDataFrame([("r1", i) for i in range(100)], ["run_date", "v"])
+    write_partitioned(df, lake, ["run_date"])
+    tbl = "test_stats_catalog"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    register_lake_table(spark, tbl, lake, analyze=True)
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    stats = [r.data_type for r in detail if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0]  # rowCount recorded for CBO
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
