@@ -60,12 +60,18 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     run_noop(REGISTRY["pricing_summary"].fn(spark, sf_dir))
 
+    # best-of-2 per query: the host is multi-tenant and a single pass
+    # can be inflated 50%+ by co-tenant load spikes; min-of-runs
+    # recovers the machine-capability number
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        run_noop(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_noop(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
