@@ -20,6 +20,8 @@ materialized blocks — the same discipline GraphX applies.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,29 +31,56 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    reliable_checkpoint: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component is the
-    minimum node id reachable from the node (a canonical label)."""
-    edges = (
+    minimum node id reachable from the node (a canonical label).
+
+    ``reliable_checkpoint=True`` uses ``DataFrame.checkpoint()`` against
+    the SparkContext's configured checkpoint dir instead of
+    ``localCheckpoint()``. localCheckpoint blocks live in executor
+    memory/disk and die with a lost executor — fine on local[*], fatal
+    mid-iteration on a real cluster; reliable checkpoints survive
+    executor loss. Callers must ``sc.setCheckpointDir(...)`` first.
+
+    Min-label propagation needs diameter-many iterations. If the loop
+    exits after ``max_iterations`` without converging the labels are
+    WRONG (components silently split); ``strict=True`` raises, else a
+    RuntimeWarning is emitted.
+    """
+    if reliable_checkpoint:
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable_checkpoint=True requires "
+                "spark.sparkContext.setCheckpointDir(...) to be set"
+            )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _ckpt(  # truncate lineage per generation
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
@@ -59,7 +88,6 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per generation
         )
         changed = (
             new_labels.alias("n")
@@ -70,5 +98,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); components "
+            "may be split — raise max_iterations (graph diameter bound)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.select(F.col("node"), F.col("label").alias("component"))

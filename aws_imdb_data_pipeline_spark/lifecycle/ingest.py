@@ -24,6 +24,7 @@ from aws_imdb_data_pipeline_spark.lifecycle.runs import (
     RunManifest,
     content_changed,
     md5_file,
+    write_control,
     write_manifest,
 )
 
@@ -63,7 +64,12 @@ def ingest_datasets(
     for name in datasets:
         meta, open_payload = fetcher(name)
         ctl = os.path.join(control_dir, f"{name}.json")
-        if not content_changed(ctl, meta):
+        # update=False: the control file must only advance AFTER a
+        # successful download, or a mid-transfer crash would make the
+        # next run see "unchanged" and permanently skip the dataset.
+        # The reference writes its control file post-upload for the
+        # same reason (imdb_raw_ingest.py:176-204 then 282-308).
+        if not content_changed(ctl, meta, update=False):
             manifest.record(name, "skipped_unchanged")
             statuses[name] = "skipped_unchanged"
             continue
@@ -78,6 +84,7 @@ def ingest_datasets(
                 size += len(chunk)
         shutil.move(tmp, dest)
         digest = md5_file(dest, chunk_size)
+        write_control(ctl, meta)  # download complete + hashed: now commit
         manifest.record(name, "downloaded", md5=digest, size=size)
         statuses[name] = "downloaded"
         # latest pointer: consumers read {lake}/{name}/latest to find

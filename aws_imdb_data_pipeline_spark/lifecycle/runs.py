@@ -66,15 +66,26 @@ def content_changed(
 ) -> bool:
     """Change detection against a JSON control file: True if the remote
     metadata (etag / last_modified / content_length) differs from the
-    recorded state (imdb_raw_ingest.py:176-204). Optionally records the
-    new state for the next run."""
+    recorded state (imdb_raw_ingest.py:176-204). With ``update=True``
+    the new state is recorded immediately; ingest callers should pass
+    ``update=False`` and call :func:`write_control` only after the
+    download succeeds, or a failed transfer is never retried."""
     previous = None
     if os.path.exists(control_path):
         with open(control_path) as f:
             previous = json.load(f)
     changed = previous != remote_meta
     if changed and update:
-        os.makedirs(os.path.dirname(control_path) or ".", exist_ok=True)
-        with open(control_path, "w") as f:
-            json.dump(remote_meta, f, sort_keys=True)
+        write_control(control_path, remote_meta)
     return changed
+
+
+def write_control(control_path: str, remote_meta: dict) -> None:
+    """Commit remote metadata to the control file (the post-success half
+    of change detection — mirrors the reference's write-after-upload
+    ordering, imdb_raw_ingest.py:282-308)."""
+    os.makedirs(os.path.dirname(control_path) or ".", exist_ok=True)
+    tmp = control_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(remote_meta, f, sort_keys=True)
+    os.replace(tmp, control_path)

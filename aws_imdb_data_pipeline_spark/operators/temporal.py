@@ -40,7 +40,17 @@ def asof_join(
 
     Returns all left columns plus ``right_value_cols`` and
     ``__matched_ts`` (the matched right timestamp).
+
+    ``right_value_cols`` may not collide with left column names: the
+    union-based fill would treat the left row's own value as the most
+    recent right value and silently produce wrong fills.
     """
+    collisions = set(right_value_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            "asof_join right_value_cols collide with left columns: "
+            f"{sorted(collisions)}; rename them on the right side first"
+        )
     lcols = left.columns
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
@@ -75,9 +85,12 @@ def asof_join(
         F.col("__f___matched_ts").alias("__matched_ts"),
     )
     if tolerance_seconds is not None:
+        # microsecond precision, matching interval_join: unix_timestamp
+        # truncates to whole seconds and can keep matches ~1s past the
+        # tolerance on sub-second data
         within = (
-            F.unix_timestamp(left_ts) - F.unix_timestamp("__matched_ts")
-        ) <= tolerance_seconds
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__matched_ts"))
+        ) <= int(tolerance_seconds) * 1_000_000
         out = out.select(
             *lcols,
             *[

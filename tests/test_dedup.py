@@ -143,3 +143,42 @@ def test_connected_components_long_chain_converges(spark):
     out = {r.node: r.component for r in connected_components(pairs, max_iterations=40).collect()}
     assert set(out.values()) == {0}
     assert len(out) == 31
+
+
+def test_connected_components_nonconvergence_signals(spark):
+    import warnings
+
+    import pytest
+
+    from aws_imdb_data_pipeline_spark.extensions.clusters import (
+        connected_components,
+    )
+
+    # 12-node path with max_iterations=2: cannot converge
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iterations=2).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2, strict=True)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    import pytest
+
+    from aws_imdb_data_pipeline_spark.extensions.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(pairs, reliable_checkpoint=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    out = {
+        r.node: r.component
+        for r in connected_components(pairs, reliable_checkpoint=True).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -122,6 +122,43 @@ def test_ingest_change_detection_and_manifest(tmp_path):
     assert json.load(open(r3.manifest_path))["files"]["title_basics"]["md5"]
 
 
+def test_ingest_failed_download_is_retried(tmp_path):
+    """A crash mid-download must NOT advance the control file — the next
+    run has to see the dataset as changed and retry, or the slice is
+    silently lost forever (write-control-after-success ordering)."""
+    import gzip
+
+    import pytest
+
+    from aws_imdb_data_pipeline_spark.lifecycle.ingest import ingest_datasets
+
+    data = gzip.compress(b"tconst\nt1\n")
+    calls = {"n": 0}
+
+    def failing_fetcher(name):
+        meta = {"etag": "e1", "content_length": len(data)}
+
+        def payload():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ConnectionError("transfer died mid-stream")
+            return iter([data])
+
+        return meta, lambda: payload()
+
+    lake = str(tmp_path / "raw_retry")
+    with pytest.raises(ConnectionError):
+        ingest_datasets(["title_basics"], failing_fetcher, lake, "2024-03-01")
+
+    # retry with identical remote metadata must download, not skip
+    r2 = ingest_datasets(["title_basics"], failing_fetcher, lake, "2024-03-02")
+    assert r2.statuses == {"title_basics": "downloaded"}
+
+    # and a third run with unchanged metadata now skips
+    r3 = ingest_datasets(["title_basics"], failing_fetcher, lake, "2024-03-03")
+    assert r3.statuses == {"title_basics": "skipped_unchanged"}
+
+
 def test_ingested_tsv_reads_into_spark(spark, tmp_path):
     import gzip
 

@@ -135,6 +135,47 @@ def test_asof_join_tolerance(spark):
     assert loose.v == 5.0
 
 
+def test_asof_join_subsecond_tolerance(spark):
+    """Tolerance is enforced at microsecond precision: a match 0.5s past
+    the tolerance must be rejected (unix_timestamp would truncate both
+    sides to the same second and keep it)."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:02.600")], ["k", "ts_s"]
+    ).select("k", F.col("ts_s").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00.000", 5.0)], ["k", "ts_s", "v"]
+    ).select("k", F.col("ts_s").cast("timestamp").alias("rts"), "v")
+    # gap is 2.6s: a 2s tolerance must reject (second-truncation keeps it)
+    out = asof_join(
+        left, right, ["k"], "lts", "rts", ["v"], tolerance_seconds=2
+    ).first()
+    assert out.v is None
+    ok = asof_join(
+        left, right, ["k"], "lts", "rts", ["v"], tolerance_seconds=3
+    ).first()
+    assert ok.v == 5.0
+
+
+def test_asof_join_rejects_colliding_value_cols(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00", 1.0)], ["k", "ts_s", "v"]).select(
+        "k", F.col("ts_s").cast("timestamp").alias("lts"), "v"
+    )
+    right = spark.createDataFrame([(1, "2024-01-01 09:00:00", 5.0)], ["k", "ts_s", "v"]).select(
+        "k", F.col("ts_s").cast("timestamp").alias("rts"), "v"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "lts", "rts", ["v"])
+
+
 def test_interval_join_boundaries(spark):
     from pyspark.sql import functions as F
 

@@ -137,6 +137,43 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stateful_timeout_wiring(spark, tmp_path):
+    """The timeout parameter maps to a real GroupStateTimeout conf: an
+    invalid name raises, and ProcessingTimeTimeout runs end-to-end (state
+    can't expire within one availableNow pass, so totals still match)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.streaming.stateful import user_running_totals
+
+    with pytest.raises(ValueError, match="timeout"):
+        user_running_totals(spark.range(1), timeout="BogusTimeout")
+
+    src = str(tmp_path / "timeout_stream")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], ["user_id", "value"]
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        user_running_totals(stream, timeout="ProcessingTimeTimeout")
+        .writeStream.format("memory")
+        .queryName("t_state_timeout")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("t_state_timeout")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    assert final == {1: (2, 15.0), 2: (1, 7.0)}
+
+
 def test_stream_to_lake_foreachbatch(spark, sf_dir, tmp_path):
     """foreachBatch streaming sink lands partitioned parquet equal to
     the batch write of the same data."""
