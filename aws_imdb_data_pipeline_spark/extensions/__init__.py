@@ -14,6 +14,8 @@ from aws_imdb_data_pipeline_spark.extensions.similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
+    random_hyperplane_buckets,
 )
 from aws_imdb_data_pipeline_spark.extensions.ivf import (
     build_ivf_assignments,
@@ -39,6 +41,8 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
+    "random_hyperplane_buckets",
     "build_ivf_assignments",
     "cosine_topk_ivf",
     "token_stats",

@@ -18,51 +18,60 @@ the exact-Jaccard verify touches only candidate pairs. Skewed buckets
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
 
 
-def simhash64(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash fingerprints via an Arrow-batched pandas UDF.
+def simhash64(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """64-bit SimHash fingerprints, computed entirely JVM-side.
 
     Per-token 64-bit hashes vote on each bit position; the sign of the
     vote sum sets the bit. Near-duplicate docs differ in few bits →
     compare with hamming distance (``simhash_near_dup_pairs``).
-    This is the sanctioned Python path: bit-vote accumulation has no
-    clean Catalyst expression, so it runs as a pandas UDF over Arrow
-    batches (not per-row Python).
-    """
-    @F.pandas_udf(LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            if not text:
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in text.split():
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
-                    )
-                )
-                bits = (h >> shifts) & np.uint64(1)
-                votes += np.where(bits == 1, 1, -1)
-            fp = np.uint64(0)
-            for j in range(64):
-                if votes[j] > 0:
-                    fp |= np.uint64(1) << np.uint64(j)
-            out[i] = fp
-        return pd.Series(out.view(np.int64))
 
-    return df.withColumn(out_col, _simhash(F.col(text_col)))
+    Formulation: explode tokens → ``xxhash64(token)`` once per token →
+    64 signed-sum aggregates (+1 if bit j set, else -1) in a single
+    partial+final hash aggregate — the same explode→agg shape as
+    ``minhash_signatures``, which benched ~20x faster than the Python
+    path. (An earlier version ran a per-token md5 loop inside a pandas
+    UDF; Arrow-batched, but ~100% Python CPU at scale.)
+
+    ``id_cols`` names the document key (defaults to every column except
+    ``text_col``); all original columns are preserved. Docs with no
+    tokens get fingerprint 0, matching the Python formulation.
+    """
+    ids = id_cols if id_cols is not None else [c for c in df.columns if c != text_col]
+    toks = df.select(
+        *ids, F.explode(F.split(F.col(text_col), r"\s+")).alias("__tok")
+    ).filter(F.col("__tok") != "")
+    hashed = toks.select(*ids, F.xxhash64("__tok").alias("__h"))
+    # vote_j = sum over tokens of (bit j set ? +1 : -1)
+    votes = hashed.groupBy(*ids).agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2
+                - F.lit(1)
+            ).alias(f"__v{j}")
+            for j in range(64)
+        ]
+    )
+    # fingerprint = OR of 2^j where vote_j > 0; the terms are distinct
+    # bits so integer + is exact (bit 63 is the sign bit — shiftleft of
+    # 1L by 63 yields Long.MIN_VALUE, the correct two's-complement bit)
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp + F.when(
+            F.col(f"__v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    sig = votes.select(*ids, fp.alias(out_col))
+    return df.join(sig, ids, "left").fillna({out_col: 0})
 
 
 def simhash_near_dup_pairs(

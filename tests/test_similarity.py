@@ -107,6 +107,39 @@ def test_cosine_topk_lsh_structural_and_recall(spark, sf_dir):
     assert all(a != b for (a, b) in apairs)  # never self-matches
 
 
+def test_embedding_near_dup_lsh_recall_and_precision(spark, sf_dir):
+    """The LSH-bucketed near-dup must be a strict subset of the brute
+    pairs (exact-cosine verify → no false positives) with high recall
+    on the planted near-dup corpus."""
+    from aws_imdb_data_pipeline_spark.extensions import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_lsh(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4,
+            n_planes=4, n_bands=16,
+        ).collect()
+    }
+    assert set(approx) <= set(truth)  # may miss, must never invent
+    for pair, cos in approx.items():
+        assert abs(cos - truth[pair]) < 1e-9  # same exact cosine
+    # seeded planes + fixed corpus → recall is deterministic; the
+    # analytic expectation at cos≈0.43 with (4 planes, 16 bands) is
+    # ~0.95 — assert a conservative floor
+    assert len(approx) / len(truth) >= 0.8
+
+
 def test_cosine_topk_ivf_recall_and_scores(spark, sf_dir):
     from aws_imdb_data_pipeline_spark.extensions import cosine_topk, cosine_topk_ivf
     from aws_imdb_data_pipeline_spark.sources.tables import load_table
