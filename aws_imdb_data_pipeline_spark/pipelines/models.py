@@ -84,6 +84,30 @@ def movie_facts_anl(movie_facts: DataFrame) -> DataFrame:
     )
 
 
+def episode_facts_anl(episode_facts: DataFrame) -> DataFrame:
+    """episode_facts_anl.sql:1-20 — typed rename projection over
+    EPISODE_FACTS: TCONST→episode_key, SERIESID→series_key,
+    AVERAGERATING→avg_rating, NUMVOTES→num_votes, RUN_DATE_DT→run_date
+    (the date-typed run column), pass-through flags and season fields."""
+    return episode_facts.select(
+        F.col("tconst").alias("episode_key"),
+        F.col("seriesId").alias("series_key"),
+        "seriesTitle",
+        "seriesStartYear",
+        "series_decade",
+        "seasonNumber",
+        "episodeNumber",
+        "episodeTitle",
+        "episodeYear",
+        F.col("averageRating").alias("avg_rating"),
+        F.col("numVotes").alias("num_votes"),
+        "isPilot",
+        "isFinale",
+        "isSpecial",
+        F.col("run_date_dt").alias("run_date"),
+    )
+
+
 def series_season_summary_anl(season_summary: DataFrame) -> DataFrame:
     """series_season_summary_anl.sql:13 — zero-padded SEASON_LABEL
     ('S01'), typed metrics."""

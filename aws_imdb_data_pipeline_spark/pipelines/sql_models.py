@@ -73,6 +73,18 @@ MODELS: dict[str, str] = {
                run_date
         FROM analytics_movie_facts
     """,
+    # episode_facts_anl.sql:1-20 — typed rename projection
+    "episode_facts_anl": """
+        SELECT tconst        AS episode_key,
+               seriesId      AS series_key,
+               seriesTitle, seriesStartYear, series_decade,
+               seasonNumber, episodeNumber, episodeTitle, episodeYear,
+               averageRating AS avg_rating,
+               numVotes      AS num_votes,
+               isPilot, isFinale, isSpecial,
+               run_date_dt   AS run_date
+        FROM analytics_episode_facts
+    """,
     # series_season_summary_anl.sql — season labels
     "series_season_summary_anl": """
         SELECT seriesId, seriesTitle, series_decade, seasonNumber,
@@ -91,6 +103,7 @@ MODEL_ORDER = [
     "marts_top_movies_by_genre",
     "marts_episode_season_trends",
     "movie_facts_anl",
+    "episode_facts_anl",
     "series_season_summary_anl",
 ]
 

@@ -235,3 +235,29 @@ def test_sql_models_match_dataframe_models(raw, movies, episodes, spark):
         for r in episode_season_trends(episodes).collect()
     }
     assert sql_tr == df_tr
+
+
+def test_episode_facts_anl_model(episodes, spark):
+    """episode_facts_anl (reference episode_facts_anl.sql:1-20): typed
+    rename projection — exact column mapping, date-typed run_date, and
+    SQL-text twin equivalence."""
+    from aws_imdb_data_pipeline_spark.pipelines.models import episode_facts_anl
+    from aws_imdb_data_pipeline_spark.pipelines.sql_models import run_models
+
+    anl = episode_facts_anl(episodes)
+    assert anl.columns == [
+        "episode_key", "series_key", "seriesTitle", "seriesStartYear",
+        "series_decade", "seasonNumber", "episodeNumber", "episodeTitle",
+        "episodeYear", "avg_rating", "num_votes", "isPilot", "isFinale",
+        "isSpecial", "run_date",
+    ]
+    assert dict(anl.dtypes)["run_date"] == "date"
+    # renames carry values through unchanged
+    src = {r.tconst: (r.averageRating, r.numVotes) for r in episodes.collect()}
+    got = {r.episode_key: (r.avg_rating, r.num_votes) for r in anl.collect()}
+    assert got == src
+
+    episodes.createOrReplaceTempView("analytics_episode_facts")
+    sql_out = run_models(spark, only=["episode_facts_anl"])["episode_facts_anl"]
+    assert sql_out.columns == anl.columns
+    assert {tuple(r) for r in sql_out.collect()} == {tuple(r) for r in anl.collect()}

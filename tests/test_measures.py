@@ -1,0 +1,88 @@
+"""Power BI measure layer (reference README.md:146-161): Dim Series +
+the four DAX measures as batch transforms, on the IMDb fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.operators.fallback import preferential_pick
+from aws_imdb_data_pipeline_spark.pipelines import episodes_pipeline, season_rollup
+from aws_imdb_data_pipeline_spark.pipelines.measures import (
+    dim_series,
+    finale_delta_vs_avg,
+    series_best_season,
+    series_finale_rating,
+    series_pilot_rating,
+)
+from tests.imdb_fixtures import build_raw
+
+RUN = "20240115"
+
+
+@pytest.fixture(scope="module")
+def episodes(spark):
+    return episodes_pipeline(build_raw(spark), RUN).cache()
+
+
+def test_preferential_pick_tiers_and_default(spark):
+    rows = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 2, 30.0)], ["k", "tier_tag", "v"]
+    )
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    out = {
+        r.k: r.v
+        for r in preferential_pick(
+            [rows.filter("tier_tag = 1"), rows.filter("tier_tag = 2")],
+            key_cols=["k"],
+            order_by=[F.col("v")],
+            value_cols=["v"],
+            keys=keys,
+            defaults={"v": 0.0},
+        ).collect()
+    }
+    # a: tier-1 row beats tier-2 row; b: only tier 2; c: default
+    assert out == {"a": 10.0, "b": 30.0, "c": 0.0}
+
+
+def test_dim_series(episodes):
+    dims = {r.series_key: r for r in dim_series(episodes).collect()}
+    assert set(dims) == {"tt0000100", "tt0000200"}
+    assert dims["tt0000100"].series_label == "ShowOne (2005)"
+    assert dims["tt0000200"].series_label == "ShowTwo (1998)"
+
+
+def test_series_pilot_rating(episodes):
+    out = {r.series_key: r for r in series_pilot_rating(episodes).collect()}
+    # ShowOne: S1E1 is a rated pilot → tier 1 hit
+    assert out["tt0000100"].pilot_rating == 7.0
+    assert (out["tt0000100"].pilot_season, out["tt0000100"].pilot_episode) == (1, 1)
+    # ShowTwo: sole episode unrated → every tier empty → 0
+    assert out["tt0000200"].pilot_rating == 0.0
+
+
+def test_series_finale_rating(episodes):
+    out = {r.series_key: r for r in series_finale_rating(episodes).collect()}
+    # ShowOne: rated season finales are S1E2 (8.1) and S2E1 (6.0);
+    # latest (season desc) wins → S2E1
+    assert out["tt0000100"].finale_rating == 6.0
+    assert (out["tt0000100"].finale_season, out["tt0000100"].finale_episode) == (2, 1)
+    assert out["tt0000200"].finale_rating == 0.0
+
+
+def test_series_best_season(episodes):
+    seasons = season_rollup(episodes)
+    out = {r.series_key: r for r in series_best_season(seasons).collect()}
+    # ShowOne: S1 avg (7.0+8.1)/2 = 7.55 beats S2 (6.0); special (-1) excluded
+    assert out["tt0000100"].best_season == 1
+    assert abs(out["tt0000100"].best_season_rating - 7.55) < 1e-9
+    # ShowTwo: no rated season → 0
+    assert out["tt0000200"].best_season_rating == 0.0
+
+
+def test_finale_delta_vs_avg(episodes):
+    out = {r.series_key: r for r in finale_delta_vs_avg(episodes).collect()}
+    avg_one = (7.0 + 8.1 + 6.0) / 3
+    assert abs(out["tt0000100"].finale_delta - (6.0 - avg_one)) < 1e-9
+    # both sides coalesce to 0 → delta 0 for the unrated series
+    assert out["tt0000200"].finale_delta == 0.0
