@@ -1,0 +1,263 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+deterministic dataset splits, token-budget sequence packing built on a
+scalable prefix sum, benchmark-contamination checks, PII-style
+redaction, and per-source mixture sampling.
+
+These go beyond the reference repo's analytics surface (it has no
+training-data layer); they are the operations a 100 TB pre-training
+corpus pipeline runs after dedup (extensions/dedup.py) and quality
+scoring (extensions/textstats.py). Everything is JVM-side built-in
+expressions — no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splits
+# ---------------------------------------------------------------------------
+
+
+def split_assignment(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 100,
+    cuts: tuple[tuple[str, int], ...] = (("test", 5), ("val", 10)),
+    fallthrough: str = "train",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by ``key % n_buckets``.
+
+    Keying the split on a stable id (not ``rand()``) makes the
+    assignment reproducible across runs, machines, and engines — the
+    property a training pipeline actually needs: re-running the corpus
+    build never moves a document between train and test. ``cuts`` are
+    (name, exclusive-upper-bucket) pairs in ascending order; buckets at
+    or above the last cut land in ``fallthrough``.
+
+    Zero shuffle: a pure projection that pipelines into whatever scan
+    or write follows. For adversarially clustered ids, hash the key
+    first (``F.xxhash64``) — same shape, engine-specific bucketing
+    (register rows-only; see ``hash_split_assignment``).
+    """
+    bucket = F.pmod(F.col(key_col), F.lit(n_buckets))
+    expr = F.lit(fallthrough)
+    for name, hi in reversed(cuts):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_assignment(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 100,
+    cuts: tuple[tuple[str, int], ...] = (("test", 5), ("val", 10)),
+    fallthrough: str = "train",
+    out_col: str = "split",
+    seed: int = 42,
+) -> DataFrame:
+    """`split_assignment` over ``xxhash64(key, seed)`` — robust to ids
+    that are themselves clustered (e.g. sequential ids where a crawl
+    batch correlates with content). Engine-specific hash → no SQL
+    oracle; the distributional properties are property-tested instead."""
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(n_buckets))
+    expr = F.lit(fallthrough)
+    for name, hi in reversed(cuts):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# Scalable global prefix sum → token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_col`` order,
+    WITHOUT the single-partition window trap.
+
+    ``sum().over(Window.orderBy(k))`` with no partitionBy collapses the
+    whole table into ONE task — the classic 100 TB killer. Instead:
+    two-phase prefix sum, the distributed-scan formulation:
+
+      1. order-preserving range buckets: ``bucket = floor(key / width)``
+         (explicit arithmetic, not ``spark_partition_id()``, so the
+         mapping is deterministic and oracle-checkable);
+      2. per-bucket running sum — a window PARTITIONED by bucket, so
+         all buckets run in parallel;
+      3. bucket totals (tiny: ``n_buckets`` rows) get their own running
+         sum on a single partition — negligible — and join back as each
+         bucket's starting offset, broadcast.
+
+    Requires a non-negative numeric ``order_col``; ties within
+    ``order_col`` must not exist (use a unique id)."""
+    hi = df.agg(F.max(order_col)).first()[0]
+    if hi is None:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    width = max(int(hi) // n_buckets + 1, 1)
+    b = df.withColumn("__bucket", (F.col(order_col) / width).cast("long"))
+    local = b.withColumn(
+        "__local",
+        F.sum(value_col).over(
+            Window.partitionBy("__bucket")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = b.groupBy("__bucket").agg(F.sum(value_col).alias("__tot"))
+    offsets = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.orderBy("__bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__bucket", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__bucket", "__local")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign documents (in ``key_col`` order) to contiguous
+    fixed-token-budget bins: a document belongs to the bin its STARTING
+    offset falls in, so a straddling document overflows its bin rather
+    than opening a new one (the standard "pack with overflow" policy —
+    the strictly-greedy "close the bin early" variant is order-carrying
+    sequential state and cannot be expressed associatively; it would
+    need applyInPandas per range-slice).
+
+    Built on ``prefix_sum`` — fully parallel, deterministic, and
+    SQL-equivalent (the oracle is a plain window cumsum)."""
+    out = prefix_sum(df, key_col, tokens_col, out_col="__cum")
+    return out.withColumn(
+        bin_col,
+        ((F.col("__cum") - F.col(tokens_col)) / budget).cast("long"),
+    ).drop("__cum")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per corpus document: how many of its distinct k-gram shingles
+    also appear ANYWHERE in the benchmark set, plus the contamination
+    ratio — the standard eval-set decontamination signal.
+
+    Shape: explode corpus shingles (distinct per doc), semi-style
+    inner-join against the DISTINCT benchmark shingle set, count per
+    doc, then join counts back to per-doc shingle totals. The benchmark
+    side is usually tiny (eval sets) → broadcast; the corpus side
+    shuffles once on the shingle string. At 100 TB, hash shingles to
+    64-bit before the join to keep exchange rows narrow."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import shingle_docs
+
+    c_sh = shingle_docs(corpus, id_col, text_col, k=k).select(
+        F.col(id_col), F.explode("__shingles").alias("__g")
+    )
+    b_sh = (
+        shingle_docs(benchmark, id_col, text_col, k=k)
+        .select(F.explode("__shingles").alias("__g"))
+        .distinct()
+    )
+    totals = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contamination_ratio", F.col("n_contaminated") / F.col("n_shingles")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction
+# ---------------------------------------------------------------------------
+
+# Deliberately simple patterns that mean the same thing in Java regex
+# (Spark) and RE2 (DuckDB) — a production pipeline would plug real
+# recognizers into the same projection.
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"[0-9]{7,}", "<NUMBER>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Chained ``regexp_replace`` projection (email → SSN-shaped →
+    long digit runs, in that order so narrower patterns win), plus a
+    per-doc count of redactions. Pure whole-stage-codegen JVM
+    expressions; linear scan, no shuffle."""
+    clean = F.col(text_col)
+    n = F.lit(0)
+    for pat, token in _PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0)))
+        clean = F.regexp_replace(clean, pat, token)
+    return df.withColumn(out_col, clean).withColumn("n_redactions", n)
+
+
+# ---------------------------------------------------------------------------
+# Per-source mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Downsample each source to its mixture rate, deterministically:
+    keep a row iff ``key % n_buckets < rate * n_buckets``. The
+    data-mixing step of corpus assembly (e.g. 100% wiki, 30% web) as a
+    reproducible filter instead of ``sample()`` — identical output
+    every run, no RNG state, survives retries and speculative tasks
+    (a ``rand()`` filter does not: a re-executed task would emit a
+    DIFFERENT sample, breaking exactly-once sinks).
+
+    Sources absent from ``rates`` are dropped. Pure filter → pipelines
+    into the scan with predicate pushdown on ``source`` when the lake
+    is partitioned by it."""
+    bucket = F.pmod(F.col(key_col), F.lit(n_buckets))
+    keep = F.lit(False)
+    for src, rate in rates.items():
+        keep = keep | (
+            (F.col(source_col) == src) & (bucket < int(round(rate * n_buckets)))
+        )
+    return df.filter(keep)

@@ -23,5 +23,6 @@ from aws_imdb_data_pipeline_spark.plans import extensions  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import streaming_batch  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import measures  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import behavioral  # noqa: E402,F401
+from aws_imdb_data_pipeline_spark.plans import corpus  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracles"]

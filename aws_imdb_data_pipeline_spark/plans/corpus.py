@@ -1,0 +1,224 @@
+"""Corpus-preparation queries (extensions/corpus.py) with SQL oracles:
+deterministic splits, prefix-sum sequence packing, contamination
+check, PII redaction, mixture sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.extensions.corpus import (
+    contamination_overlap,
+    mixture_sample,
+    pack_documents,
+    prefix_sum,
+    redact_pii,
+    split_assignment,
+)
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "corpus_split_counts",
+    oracle="""
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT source, n_chars,
+               CASE WHEN doc_id % 100 < 5 THEN 'test'
+                    WHEN doc_id % 100 < 10 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    GROUP BY split, source
+    """,
+    operators=("EXT-corpus", "A2", "P9"),
+)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (key-mod buckets, zero
+    shuffle, reproducible across engines) summarized per (split,
+    source). The split itself is a projection; only the summary
+    aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assignment(docs, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "corpus_pack_bins",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    SELECT CAST(FLOOR((cum - n_chars) / 8192) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM toks
+    GROUP BY 1
+    """,
+    operators=("EXT-corpus", "W4", "A1"),
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing summarized per bin. The global
+    running sum uses the two-phase distributed prefix sum
+    (extensions/corpus.py:prefix_sum) — per-range-bucket windows in
+    parallel plus a broadcast of ~256 bucket offsets — NOT the
+    single-partition `Window.orderBy` the oracle can afford at
+    DuckDB's scale. Bins are contiguous 8192-char budgets; a document
+    belongs to the bin its starting offset falls in."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = pack_documents(docs, "doc_id", "n_chars", budget=8192)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("bin_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "corpus_contamination",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
+        FROM w a
+        JOIN w b USING (doc_id)
+        JOIN w c USING (doc_id)
+        WHERE b.i = a.i + 1 AND c.i = a.i + 2
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_contaminated
+        FROM corpus JOIN bench USING (g) GROUP BY 1
+    )
+    SELECT doc_id, n_shingles,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           COALESCE(n_contaminated, 0) * 1.0 / n_shingles
+               AS contamination_ratio
+    FROM totals LEFT JOIN hits USING (doc_id)
+    WHERE COALESCE(n_contaminated, 0) > 0
+    """,
+    operators=("EXT-corpus", "EXT-dedup", "J1", "A1"),
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: every ~97th document plays the
+    benchmark; report corpus documents sharing ≥1 distinct 3-gram with
+    it. Benchmark shingle set broadcast; corpus side shuffles once on
+    the shingle. Only contaminated docs are emitted (the interesting
+    rows — at 100 TB the clean majority should never leave the
+    executors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    corpus = docs.filter(F.pmod("doc_id", F.lit(97)) != 0)
+    return contamination_overlap(corpus, bench).filter(
+        F.col("n_contaminated") > 0
+    )
+
+
+@register(
+    "corpus_redaction_stats",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]{7,}'))) AS BIGINT)
+               AS n_long_numbers,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]{7,}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+           CAST(SUM(length(text) - length(regexp_replace(
+               text, '[0-9]{7,}', '<NUMBER>', 'g'))) AS BIGINT) AS chars_removed
+    FROM documents
+    GROUP BY source
+    """,
+    operators=("EXT-corpus", "F16", "A1"),
+)
+def corpus_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (chained regexp_replace projection,
+    extensions/corpus.py:redact_pii) audited per source: docs touched,
+    matches replaced, net characters removed. The corpus is synthetic
+    word-soup so the email/SSN patterns rarely fire; the long-digit
+    rule is the observable one — the oracle pins its exact semantics.
+    All whole-stage-codegen; one aggregate shuffle on `source`."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = redact_pii(docs)
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit(r"[0-9]{7,}"), F.lit(0)))
+        ).alias("n_long_numbers"),
+        F.sum(
+            F.when(F.col("text").rlike(r"[0-9]{7,}"), 1).otherwise(0)
+        ).alias("n_docs_redacted"),
+        F.sum(F.length("text") - F.length(
+            F.regexp_replace("text", r"[0-9]{7,}", "<NUMBER>")
+        )).alias("chars_removed"),
+    )
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE (source = 'src0' AND doc_id % 1000 < 300)
+       OR (source = 'src1' AND doc_id % 1000 < 1000)
+       OR (source = 'src2' AND doc_id % 1000 < 500)
+    GROUP BY source
+    """,
+    operators=("EXT-corpus", "P2", "A2"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: keep 30% src0 / 100% src1 / 50% src2 by
+    deterministic key-mod sampling (reproducible under task retries,
+    unlike rand()); unlisted sources drop out. Pure filter that pushes
+    into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = mixture_sample(docs, {"src0": 0.3, "src1": 1.0, "src2": 0.5})
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "corpus_prefix_sum_check",
+    oracle="""
+    SELECT doc_id,
+           CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cumsum
+    FROM documents
+    WHERE doc_id % 11 = 0
+    """,
+    operators=("EXT-corpus", "W4"),
+)
+def corpus_prefix_sum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed two-phase prefix sum verified row-by-row against
+    the oracle's single-partition window — on a mod-11 slice so the
+    result set stays small while every range bucket is exercised."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod("doc_id", F.lit(11)) == 0)
+        .select("doc_id", "n_chars")
+    )
+    return prefix_sum(docs, "doc_id", "n_chars", out_col="cumsum").select(
+        "doc_id", F.col("cumsum").cast("bigint").alias("cumsum")
+    )
