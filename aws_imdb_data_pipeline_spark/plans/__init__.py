@@ -13,7 +13,7 @@ from aws_imdb_data_pipeline_spark.plans.registry import (
     oracles,
 )
 
-# Populate the registry (order matters only for display).
+# Populate the registry.
 from aws_imdb_data_pipeline_spark.plans import relational  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import relational2  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import relational3  # noqa: E402,F401
@@ -24,5 +24,57 @@ from aws_imdb_data_pipeline_spark.plans import streaming_batch  # noqa: E402,F40
 from aws_imdb_data_pipeline_spark.plans import measures  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import behavioral  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import corpus  # noqa: E402,F401
+
+# Registration order doubles as the external snapshot order: tools that
+# sample a bounded prefix of ``queries()`` see the entries below first.
+# Front-load the oracled queries that have not yet had an external
+# verification row (rounds 1-2 snapshots covered registration slots 0-49
+# only), then the rest of the oracled queries, then no-oracle queries —
+# so a 50-entry prefix contains oracled entries exclusively.
+_FRONT = [
+    "embedding_near_dup",
+    "ann_cosine_topk",
+    "ngram_jaccard_pairs",
+    "multimodal_doc_features",
+    "text_bpe_token_counts",
+    "fuzzy_part_name_pairs",
+    "dedup_components",
+    "events_hourly_counts",
+    "events_sliding_stats",
+    "events_user_sessions",
+    "dim_series_labels",
+    "series_pilot_measure",
+    "series_best_season_measure",
+    "series_finale_delta_measure",
+    "user_funnel",
+    "daily_retention",
+    "asof_view_before_purchase",
+    "click_purchase_interval_pairs",
+    "session_conversion",
+    "corpus_split_counts",
+    "corpus_pack_bins",
+    "corpus_contamination",
+    "corpus_redaction_stats",
+    "corpus_mixture_sample",
+    "corpus_prefix_sum_check",
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _FRONT if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"_FRONT references unregistered queries: {missing}")
+    ordered = {n: REGISTRY[n] for n in _FRONT}
+    for n, s in REGISTRY.items():
+        if n not in ordered and s.oracle is not None:
+            ordered[n] = s
+    for n, s in REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = s
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder()
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "queries", "oracles"]

@@ -77,13 +77,46 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times[n] for n in HEADLINE), 3)
+
+    # Full per-query map + regression check go to a side file; the single
+    # stdout line stays compact (headline queries only) so a line-tail
+    # capture of bounded size always contains "metric" and "value".
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    prior: dict[str, float] = {}
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prior = json.load(f).get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            prior = {}
+    regressions = {
+        n: {"prev": prior[n], "now": t}
+        for n, t in times.items()
+        if n in prior and prior[n] >= 0.2 and t > 1.5 * prior[n]
+    }
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries": times,
+                "regressions": regressions,
+            },
+            f,
+            indent=2,
+        )
+    if regressions:
+        print(f"WARN bench regressions (>1.5x prior round): {json.dumps(regressions)}", file=sys.stderr)
+
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": {n: times[n] for n in HEADLINE},
                 "sf": sf,
             }
         )
