@@ -16,6 +16,9 @@ from aws_imdb_data_pipeline_spark.extensions.similarity import (
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
     random_hyperplane_buckets,
+    auto_lsh_params,
+    lsh_band_buckets,
+    lsh_candidate_pairs_embedding,
 )
 from aws_imdb_data_pipeline_spark.extensions.ivf import (
     build_ivf_assignments,
@@ -43,6 +46,9 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
     "random_hyperplane_buckets",
+    "auto_lsh_params",
+    "lsh_band_buckets",
+    "lsh_candidate_pairs_embedding",
     "build_ivf_assignments",
     "cosine_topk_ivf",
     "token_stats",

@@ -73,6 +73,14 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        # Local mode runs every executor thread inside the driver JVM,
+        # whose default 1g heap OOMs 32 concurrent tasks long before
+        # the host's RAM is touched (measured: pair-explode at N=16k
+        # embeddings). On a real cluster spark-submit owns this knob.
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

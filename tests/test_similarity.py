@@ -83,41 +83,83 @@ def test_embedding_near_dup_pairs(spark):
     assert (0, 2) not in pairs  # orthogonal below threshold
 
 
-def test_cosine_topk_lsh_structural_and_recall(spark, sf_dir):
-    from pyspark.sql import functions as F
+def test_auto_lsh_params_regimes():
+    from aws_imdb_data_pipeline_spark.extensions import auto_lsh_params
 
+    # hard regime (threshold 0.4): planes grow with corpus size,
+    # saturating under the band cap
+    p500 = auto_lsh_params(500, 0.4)
+    p2k = auto_lsh_params(2000, 0.4)
+    assert p500 == (7, 57) and p2k == (9, 145)
+    # easy regime (real near-dup thresholds): far more buckets for far
+    # fewer bands -> orders-of-magnitude fewer candidates
+    planes_hi, bands_hi = auto_lsh_params(10**6, 0.8)
+    assert planes_hi >= 15 and bands_hi <= 256
+
+
+def test_lsh_band_buckets_deterministic_and_shape(spark):
+    from aws_imdb_data_pipeline_spark.extensions import lsh_band_buckets
+
+    vecs = _vecs(spark)
+    rows1 = sorted(
+        (r.vec_id, r.band, r.bucket)
+        for r in lsh_band_buckets(vecs, "vec_id", "embedding", 3, 4, 6).collect()
+    )
+    rows2 = sorted(
+        (r.vec_id, r.band, r.bucket)
+        for r in lsh_band_buckets(vecs, "vec_id", "embedding", 3, 4, 6).collect()
+    )
+    assert rows1 == rows2  # seeded bank → deterministic
+    assert len(rows1) == 5 * 6  # one row per (vector, band)
+    buckets = {(v, b): x for v, b, x in rows1}
+    # near-identical vectors agree in every band; opposite vectors never
+    for b in range(6):
+        assert buckets[(0, b)] == buckets[(1, b)]
+        assert buckets[(0, b)] != buckets[(3, b)]
+
+
+def test_cosine_topk_lsh_structural_and_recall(spark, sf_dir):
     from aws_imdb_data_pipeline_spark.extensions import cosine_topk, cosine_topk_lsh
     from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 20")
     truth = cosine_topk(q, emb, "vec_id", "embedding", k=5)
-    approx = cosine_topk_lsh(
-        q, emb, "vec_id", "embedding", dim=64, k=5, n_planes=4, probe_radius=1
-    )
+    approx = cosine_topk_lsh(q, emb, "vec_id", "embedding", dim=64, k=5)
     tpairs = {(r.query_id, r.neighbor_id): r.cosine for r in truth.collect()}
     apairs = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
     # scores must agree exactly where both report a pair
     for pair, cos in apairs.items():
         if pair in tpairs:
             assert abs(cos - tpairs[pair]) < 1e-9
-    # deterministic seeded planes + fixed corpus → recall is fixed (0.46)
+    # deterministic seeded banks + fixed corpus → recall is fixed.
+    # The analytic guarantee holds at the design threshold (0.4);
+    # true neighbors below it can be missed more often, so assert a
+    # looser overall floor plus the at-threshold guarantee.
     recall = len(set(apairs) & set(tpairs)) / len(tpairs)
-    assert recall >= 0.4
+    assert recall >= 0.8
+    strong = {p for p, cos in tpairs.items() if cos >= 0.4}
+    strong_recall = len(strong & set(apairs)) / len(strong)
+    assert strong_recall >= 0.9
     assert all(a != b for (a, b) in apairs)  # never self-matches
 
 
-def test_embedding_near_dup_lsh_recall_and_precision(spark, sf_dir):
+def test_embedding_near_dup_lsh_recall_precision_and_subquadratic(spark, sf_dir):
     """The LSH-bucketed near-dup must be a strict subset of the brute
     pairs (exact-cosine verify → no false positives) with high recall
-    on the planted near-dup corpus."""
+    on the planted near-dup corpus, AND its candidate generation must
+    examine far fewer pairs than the N^2/2 brute force — the property
+    that makes it the scale path."""
     from aws_imdb_data_pipeline_spark.extensions import (
+        auto_lsh_params,
         embedding_near_dup_pairs,
         embedding_near_dup_pairs_lsh,
+        lsh_candidate_pairs_embedding,
     )
     from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
     truth = {
         (r.id_a, r.id_b): r.cosine
         for r in embedding_near_dup_pairs(
@@ -127,17 +169,23 @@ def test_embedding_near_dup_lsh_recall_and_precision(spark, sf_dir):
     approx = {
         (r.id_a, r.id_b): r.cosine
         for r in embedding_near_dup_pairs_lsh(
-            emb, "vec_id", "embedding", dim=64, threshold=0.4,
-            n_planes=4, n_bands=16,
+            emb, "vec_id", "embedding", dim=64, threshold=0.4
         ).collect()
     }
     assert set(approx) <= set(truth)  # may miss, must never invent
     for pair, cos in approx.items():
         assert abs(cos - truth[pair]) < 1e-9  # same exact cosine
-    # seeded planes + fixed corpus → recall is deterministic; the
-    # analytic expectation at cos≈0.43 with (4 planes, 16 bands) is
-    # ~0.95 — assert a conservative floor
-    assert len(approx) / len(truth) >= 0.8
+    # seeded banks + fixed corpus → recall is deterministic; analytic
+    # target is 0.9 at cos exactly 0.4 (measured 0.95 at sf0.001)
+    assert len(approx) / len(truth) >= 0.85
+    # sub-quadratic candidates: the verify stage must see well under
+    # half of brute force even at threshold 0.4 (the hardest regime —
+    # see auto_lsh_params docstring); measured 0.38x at N=500
+    planes, bands = auto_lsh_params(n, 0.4)
+    n_cand = lsh_candidate_pairs_embedding(
+        emb, "vec_id", "embedding", 64, planes, bands
+    ).count()
+    assert n_cand <= 0.45 * n * (n - 1) / 2
 
 
 def test_cosine_topk_ivf_recall_and_scores(spark, sf_dir):
