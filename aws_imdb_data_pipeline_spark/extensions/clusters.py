@@ -100,6 +100,19 @@ def connected_components(
             break
 
     if changed != 0:
+        # the final allowed iteration changing labels does not imply
+        # non-convergence — it may have BEEN the step that reached the
+        # fixpoint; one more propagation check settles it
+        still = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .join(labels, F.col("a") == labels.node)
+            .filter(F.col("nbr_label") < F.col("label"))
+            .count()
+        )
+        changed = still
+    if changed != 0:
         msg = (
             f"connected_components did not converge in {max_iterations} "
             f"iterations ({changed} labels still changing); components "

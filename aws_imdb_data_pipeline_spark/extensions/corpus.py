@@ -103,7 +103,9 @@ def prefix_sum(
     if hi is None:
         return df.withColumn(out_col, F.lit(None).cast("double"))
     width = max(int(hi) // n_buckets + 1, 1)
-    b = df.withColumn("__bucket", (F.col(order_col) / width).cast("long"))
+    # integer DIV, not float division: double rounding near bucket
+    # boundaries misplaces order keys above 2^53
+    b = df.withColumn("__bucket", F.expr(f"CAST({order_col} AS BIGINT) DIV {width}"))
     local = b.withColumn(
         "__local",
         F.sum(value_col).over(

@@ -31,7 +31,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: list[str],
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row (same keys,
     right.ts <= left.ts, inclusive). Missing match → NULLs. If right
@@ -90,7 +90,7 @@ def asof_join(
         # tolerance on sub-second data
         within = (
             F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("__matched_ts"))
-        ) <= int(tolerance_seconds) * 1_000_000
+        ) <= int(tolerance_seconds * 1_000_000)
         out = out.select(
             *lcols,
             *[

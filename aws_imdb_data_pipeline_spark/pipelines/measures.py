@@ -106,10 +106,13 @@ def series_finale_rating(episode_facts: DataFrame) -> DataFrame:
         "isFinale",
         "averageRating",
     )
-    rated = _rated(eps)
+    # season-final = max episodeNumber among ALL episodes of the season,
+    # rated or not — computing it after the rated filter would promote a
+    # season's last *rated* episode to season-final when the true last
+    # episode is unrated.
     w = Window.partitionBy("series_key", "seasonNumber")
-    with_last = rated.withColumn(
-        "__season_last", F.max("episodeNumber").over(w)
+    with_last = _rated(
+        eps.withColumn("__season_last", F.max("episodeNumber").over(w))
     )
     tiers = [
         with_last.filter(F.col("isFinale") == 1),

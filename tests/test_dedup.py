@@ -164,6 +164,30 @@ def test_connected_components_nonconvergence_signals(spark):
         connected_components(pairs, max_iterations=2, strict=True)
 
 
+def test_connected_components_converging_on_last_iteration_ok(spark):
+    """A run whose FINAL allowed iteration reaches the fixpoint must not
+    be flagged as non-convergent (the changed-count that iteration is
+    nonzero, but a follow-up propagation check finds nothing to do)."""
+    import warnings
+
+    from aws_imdb_data_pipeline_spark.extensions.clusters import (
+        connected_components,
+    )
+
+    # 3-node path: labels settle in exactly 2 min-propagation rounds
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {
+            r.node: r.component
+            for r in connected_components(
+                pairs, max_iterations=2, strict=True
+            ).collect()
+        }
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert set(out.values()) == {0}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     import pytest
 

@@ -92,3 +92,17 @@ def test_topk_on_fewer_rows_than_k(spark):
     df = spark.createDataFrame([("a", 1)], ["g", "v"])
     assert top_k_global(df, [F.desc("v")], 10).count() == 1
     assert top_n_per_group(df, ["g"], [F.desc("v")], 10).count() == 1
+
+
+def test_prefix_sum_exact_above_double_precision(spark):
+    """Bucket assignment uses integer DIV: order keys above 2^53 (where
+    doubles lose integer resolution) must still land in the right range
+    bucket and produce the exact running sum."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import prefix_sum
+
+    base = 1 << 54
+    rows = [(base + i, 1) for i in range(64)]
+    df = spark.createDataFrame(rows, "ord long, v int")
+    out = {r.ord: r.cumsum for r in
+           prefix_sum(df, "ord", "v", out_col="cumsum", n_buckets=8).collect()}
+    assert out == {base + i: i + 1 for i in range(64)}

@@ -70,6 +70,26 @@ def test_series_finale_rating(episodes):
     assert out["tt0000200"].finale_rating == 0.0
 
 
+def test_series_finale_unrated_last_episode(spark):
+    """Season-final = max episodeNumber among ALL episodes of the
+    season. S2's true final (E2) is unrated, so S2 contributes no
+    season-final row — the rated S1 final must win tier 2; the last
+    *rated* episode of S2 must not be promoted to season-final."""
+    eps = spark.createDataFrame(
+        [
+            ("ttX", "Show", 2000, 1, 1, 0, 7.0),
+            ("ttX", "Show", 2000, 1, 2, 0, 8.0),   # true + rated S1 final
+            ("ttX", "Show", 2000, 2, 1, 0, 5.0),   # last RATED ep of S2
+            ("ttX", "Show", 2000, 2, 2, 0, None),  # true S2 final, unrated
+        ],
+        "seriesId string, seriesTitle string, seriesStartYear int, "
+        "seasonNumber int, episodeNumber int, isFinale int, averageRating double",
+    )
+    row = series_finale_rating(eps).collect()[0]
+    assert row.finale_rating == 8.0
+    assert (row.finale_season, row.finale_episode) == (1, 2)
+
+
 def test_series_best_season(episodes):
     seasons = season_rollup(episodes)
     out = {r.series_key: r for r in series_best_season(seasons).collect()}

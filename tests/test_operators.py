@@ -158,6 +158,16 @@ def test_asof_join_subsecond_tolerance(spark):
         left, right, ["k"], "lts", "rts", ["v"], tolerance_seconds=3
     ).first()
     assert ok.v == 5.0
+    # fractional tolerances must not truncate to 0 seconds: 2.7s accepts
+    # the 2.6s gap, 2.5s rejects it
+    frac_ok = asof_join(
+        left, right, ["k"], "lts", "rts", ["v"], tolerance_seconds=2.7
+    ).first()
+    assert frac_ok.v == 5.0
+    frac_no = asof_join(
+        left, right, ["k"], "lts", "rts", ["v"], tolerance_seconds=2.5
+    ).first()
+    assert frac_no.v is None
 
 
 def test_asof_join_rejects_colliding_value_cols(spark):
