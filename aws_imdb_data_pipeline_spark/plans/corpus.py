@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.extensions.corpus import (
     contamination_overlap,
+    hash_split_assignment,
     mixture_sample,
     pack_documents,
     prefix_sum,
@@ -221,4 +222,23 @@ def corpus_prefix_sum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return prefix_sum(docs, "doc_id", "n_chars", out_col="cumsum").select(
         "doc_id", F.col("cumsum").cast("bigint").alias("cumsum")
+    )
+
+
+@register("corpus_hash_split_counts", oracle=None, operators=("EXT-corpus", "A2"))
+def corpus_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash-split variant of corpus_split_counts: buckets come from
+    xxhash64(doc_id, seed) so clustered ids (crawl batches, shards)
+    cannot correlate with the split. xxhash64 is engine-specific -> no
+    SQL oracle (rows-only); split proportions and determinism are
+    property-tested in tests/test_properties.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split_assignment(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
     )

@@ -41,15 +41,42 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("price_percentiles_approx", oracle=None, operators=("A-percentile", "A8"))
+@register(
+    "price_percentiles_approx",
+    oracle="""
+    SELECT o_orderpriority,
+           TRUE AS p50_in_band,
+           TRUE AS p90_in_band
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    operators=("A-percentile", "A8"),
+)
 def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch-based scale path (bounded memory,
-    one pass, mergeable across partitions). Approximate → rows-only;
-    the pytest asserts it brackets the exact values."""
+    one pass, mergeable across partitions).
+
+    Sketch outputs can never hash-match a foreign engine, so the oracle
+    checks the ACCURACY CONTRACT instead: with accuracy=10000 the rank
+    error is <= N/10000, far inside a +/-0.02 rank band, so each approx
+    percentile must land between the exact quantiles 0.02 on either
+    side. The query emits those band checks as booleans; the oracle is
+    the constant-TRUE frame. A sketch regression (or a broken
+    percentile) flips a boolean and fails the hash compare."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
+        .between(
+            F.percentile("o_totalprice", F.lit(0.48)),
+            F.percentile("o_totalprice", F.lit(0.52)),
+        )
+        .alias("p50_in_band"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000))
+        .between(
+            F.percentile("o_totalprice", F.lit(0.88)),
+            F.percentile("o_totalprice", F.lit(0.92)),
+        )
+        .alias("p90_in_band"),
     )
 
 

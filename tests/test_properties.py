@@ -87,3 +87,40 @@ def test_fingerprint_partitions_by_normalized_content(spark, texts):
         by_fp.setdefault(r.fp64, set()).add(norm(texts[r.doc_id]))
     # one fingerprint never spans two distinct normalized contents
     assert all(len(contents) == 1 for contents in by_fp.values())
+
+
+def test_hash_split_proportions_and_determinism(spark):
+    """hash_split_assignment must (a) be deterministic across runs,
+    (b) hit the configured 5/5/90 proportions within a few points even
+    on ADVERSARIALLY clustered keys (consecutive ids), which is exactly
+    where the plain mod split's guarantee comes from luck."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        hash_split_assignment,
+    )
+
+    n = 20_000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out1 = hash_split_assignment(df, "doc_id").groupBy("split").count()
+    counts = {r.split: r["count"] for r in out1.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["test"] / n - 0.05) < 0.01
+    assert abs(counts["val"] / n - 0.05) < 0.01
+    assert abs(counts["train"] / n - 0.90) < 0.02
+    counts2 = {
+        r.split: r["count"]
+        for r in hash_split_assignment(df, "doc_id")
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert counts == counts2
+    # a different seed reshuffles membership but keeps proportions
+    other = hash_split_assignment(df, "doc_id", seed=7)
+    moved = (
+        hash_split_assignment(df, "doc_id")
+        .select("doc_id", F.col("split").alias("s1"))
+        .join(other.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter("s1 <> s2")
+        .count()
+    )
+    assert moved > 0
