@@ -31,21 +31,47 @@ def build_ivf_assignments(
     vec_col: str,
     n_lists: int = 16,
     seed: int = 42,
+    max_iter: int = 8,
+    fit_fraction: float | None = None,
 ):
     """Fit the coarse quantizer and assign each vector to a cell.
-    Returns (assigned_df with __list column, centroids as py list)."""
+    Returns (assigned_df with __list column, centroids as py list).
+
+    ``fit_fraction`` fits the quantizer on a sample — the scale path:
+    at 100 TB you never k-means the full corpus, you fit on ~1e5-1e6
+    sampled vectors and only the (cheap, single-pass) assignment
+    touches everything. ``max_iter`` is capped low on purpose: cell
+    quality only affects recall (tested), and each Lloyd iteration is
+    a full pass over the fit set.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     base = vectors.select(
         F.col(id_col), _to_double(vec_col).alias("__arr")
     ).withColumn("__vec", array_to_vector("__arr"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="__vec").fit(base)
+    # Lloyd iterations re-read their input; cache the decoded vectors
+    # for the duration of the fit instead of re-scanning parquet.
+    base = base.persist()
+    fit_set = (
+        base.sample(withReplacement=False, fraction=fit_fraction, seed=seed)
+        if fit_fraction is not None
+        else base
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="__vec", maxIter=max_iter
+    ).fit(fit_set)
     assigned = (
         model.transform(base)
         .withColumnRenamed("prediction", "__list")
         .select(id_col, "__arr", "__list")
+        .persist()
     )
+    # Materialize assignments (one small int per vector — this is the
+    # artifact a real deployment writes next to the embeddings), then
+    # release the fit cache.
+    assigned.count()
+    base.unpersist()
     centers = [c.tolist() for c in model.clusterCenters()]
     return assigned, centers
 
@@ -60,11 +86,13 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     seed: int = 42,
     round_to: int | None = 4,
+    max_iter: int = 8,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-approximate cosine top-k: (query_id, neighbor_id, cosine)."""
     spark = candidates.sparkSession
     assigned, centers = build_ivf_assignments(
-        candidates, id_col, vec_col, n_lists, seed
+        candidates, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
     )
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"),
