@@ -3,9 +3,12 @@
 Images/audio/video ride through the lake as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python worker processes columnar batches, not
-rows. The media codec libraries are not available in this container,
-so the decode kernels are STUBS (deterministic fakes) behind the real
-Spark plumbing — schema, batching, partitioning are production-shaped.
+rows. Two formats decode for REAL with stdlib-only codecs
+(`extensions/codecs.py`): non-interlaced 8-bit PNG and PCM-16 WAV —
+bytes in, pixel/sample arrays out, real features (dimensions, mean
+luma, duration, RMS). Other formats (JPEG, video containers) fall back
+to byte-level features; swapping in PIL/pyav touches only `_decode`,
+never the Spark plumbing.
 
 Scale notes: media blobs dominate partition size, so the reader should
 set ``spark.sql.files.maxPartitionBytes`` low enough that one batch of
@@ -17,16 +20,25 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
+)
+
+from aws_imdb_data_pipeline_spark.extensions.codecs import (
+    decode_png,
+    decode_wav_pcm16,
+    encode_png,
+    encode_wav_pcm16,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -48,21 +60,62 @@ FEATURE_SCHEMA = StructType(
         StructField("payload_bytes", LongType(), True),
         StructField("payload_hash", LongType(), True),
         StructField("feature_dim", IntegerType(), True),
+        # real decode outputs (null when the format isn't decodable)
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
     ]
 )
 
+_NULL_FEATURES = {
+    "width": None,
+    "height": None,
+    "mean_luma": None,
+    "n_samples": None,
+    "sample_rate": None,
+    "duration_ms": None,
+    "rms": None,
+}
 
-def _decode_stub(payload: bytes | None, kind: str) -> dict:
-    """STUB decode kernel. Real implementation would dispatch to
-    PIL/torchaudio/pyav; deterministic fake keeps tests meaningful."""
+
+def _decode(payload: bytes | None, kind: str, mime: str | None) -> dict:
+    """Decode kernel: real PNG/WAV decode, byte-level fallback otherwise.
+
+    Never raises on bad payloads — an undecodable blob yields only the
+    byte-level features (at 100 TB some corruption is a statistical
+    certainty; a poison payload must not kill the stage)."""
+    out = {"payload_bytes": 0, "payload_hash": 0, "feature_dim": 0, **_NULL_FEATURES}
     if payload is None:
-        return {"payload_bytes": 0, "payload_hash": 0, "feature_dim": 0}
-    return {
-        "payload_bytes": len(payload),
+        return out
+    data = bytes(payload)
+    out.update(
+        payload_bytes=len(data),
         # cheap deterministic content hash (FNV-1a 64)
-        "payload_hash": _fnv1a64(payload),
-        "feature_dim": {"image": 512, "audio": 128, "video": 768}.get(kind, 0),
-    }
+        payload_hash=_fnv1a64(data),
+        feature_dim={"image": 512, "audio": 128, "video": 768}.get(kind, 0),
+    )
+    try:
+        if mime == "image/png":
+            px = decode_png(data)
+            h, w, _c = px.shape
+            out.update(width=w, height=h, mean_luma=round(float(px.mean()), 4))
+        elif mime == "audio/wav":
+            arr, rate = decode_wav_pcm16(data)
+            n = int(arr.shape[0])
+            rms = float(np.sqrt(np.mean(arr[:, 0].astype(np.float64) ** 2))) if n else 0.0
+            out.update(
+                n_samples=n,
+                sample_rate=rate,
+                duration_ms=n * 1000 // rate,
+                rms=round(rms, 4),
+            )
+    except Exception:  # noqa: BLE001 — poison payloads yield byte features
+        pass
+    return out
 
 
 def _fnv1a64(data: bytes) -> int:
@@ -80,11 +133,14 @@ def extract_features(media: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEATURE_SCHEMA.fields[2:]]
         for pdf in it:
+            mimes = pdf["mime"] if "mime" in pdf.columns else [None] * len(pdf)
             feats = [
-                _decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                _decode(p, k, m)
+                for p, k, m in zip(pdf["payload"], pdf["kind"], mimes)
             ]
-            out = pd.DataFrame(feats)
+            out = pd.DataFrame(feats, columns=cols)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "kind", pdf["kind"].values)
             yield out
@@ -93,11 +149,24 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (no codec libs in env)."""
+    """Deterministic media table for tests: REAL PNG payloads for the
+    image rows, REAL PCM WAV for the audio rows, opaque bytes (no
+    stdlib codec exists) for the video rows."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes((i * 7 + j) % 256 for j in range(32 + (i % 5) * 16))
-        rows.append((i, kind, payload, f"application/x-{kind}", 64, 64, 1000))
+        rng = np.random.default_rng(1000 + i)
+        if kind == "image":
+            w, h = 8 + (i % 5), 6 + (i % 4)
+            payload = encode_png(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+            rows.append((i, kind, payload, "image/png", w, h, None))
+        elif kind == "audio":
+            n_samp = 100 + (i % 7) * 50
+            samples = rng.integers(-2000, 2000, size=n_samp).astype(np.int16)
+            payload = encode_wav_pcm16(samples, 8000)
+            rows.append((i, kind, payload, "audio/wav", None, None, n_samp * 1000 // 8000))
+        else:
+            payload = bytes((i * 7 + j) % 256 for j in range(32 + (i % 5) * 16))
+            rows.append((i, kind, payload, "application/x-video", 64, 64, 1000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")

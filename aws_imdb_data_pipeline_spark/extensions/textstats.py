@@ -118,3 +118,65 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc
+    has fewer than n tokens (sequence() would otherwise run backward)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array — i.e.
+    the count of the most frequent element — via one linear aggregate.
+    Keeps the top-gram computation O(n log n) per document instead of
+    the O(distinct^2) filter-per-element formulation."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of word bigrams/trigrams that are repeats, and the mass of
+    the single most frequent bigram/trigram.
+
+    Documents dominated by a few repeated phrases (boilerplate, spam,
+    machine-generated filler) score high on both and get filtered out
+    of training corpora. Everything is per-row array math — linear in
+    document length, embarrassingly parallel, zero shuffle at any
+    corpus size.
+    """
+    words = _words(text_col)
+    cols: dict[str, Column] = {}
+    for n, label in ((2, "bigram"), (3, "trigram")):
+        grams = _ngrams(words, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        top = _max_run_length(F.array_sort(grams))
+        # raw quotients (identical int operands across engines)
+        cols[f"dup_{label}_frac"] = F.when(
+            total > 0, (total - distinct) / total
+        )
+        cols[f"top_{label}_frac"] = F.when(total > 0, top / total)
+    return df.withColumns(cols)

@@ -36,6 +36,9 @@ _FRONT = [
     "ann_cosine_topk",
     "ngram_jaccard_pairs",
     "multimodal_doc_features",
+    "multimodal_wav_roundtrip",
+    "repetition_signals",
+    "c4_style_filters",
     "text_bpe_token_counts",
     "fuzzy_part_name_pairs",
     "dedup_components",

@@ -5,6 +5,7 @@ engine-independent (everything except hash-seeded LSH internals).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -398,6 +399,191 @@ def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         "payload_bytes",
         "feature_dim",
+    )
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(44 + 2 * octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST((octet_length(encode(text)) * 1000) // 8000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    operators=("EXT-multimodal",),
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip with a SQL oracle: each document's UTF-8
+    bytes become PCM-16 samples, encoded to a WAV container (stdlib
+    codec, 44-byte header) in one Arrow-batched UDF, then decoded back
+    by the real `extract_features` WAV kernel. The decoded sample
+    count, rate, duration and container size are all predictable from
+    `octet_length(encode(text))` — so the full encode→binary-column→decode
+    path is oracle-verified, not just row-counted."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import encode_wav_pcm16
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import extract_features
+
+    @pandas_udf("binary")
+    def to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_wav_pcm16(
+                np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int16),
+                8000,
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        to_wav("text").alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        "payload_bytes",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+    )
+
+
+@register(
+    "repetition_signals",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS l FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(l)),
+                              i -> l[i] || ' ' || l[i+1]) AS g2,
+               list_transform(range(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
+        FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) > 0
+                THEN (len(g2) - len(list_distinct(g2))) / len(g2) END
+               AS dup_bigram_frac,
+           CASE WHEN len(g2) > 0
+                THEN list_max(list_transform(list_distinct(g2),
+                         d -> len(list_filter(g2, x -> x = d)))) / len(g2) END
+               AS top_bigram_frac,
+           CASE WHEN len(g3) > 0
+                THEN (len(g3) - len(list_distinct(g3))) / len(g3) END
+               AS dup_trigram_frac,
+           CASE WHEN len(g3) > 0
+                THEN list_max(list_transform(list_distinct(g3),
+                         d -> len(list_filter(g3, x -> x = d)))) / len(g3) END
+               AS top_trigram_frac
+    FROM g
+    """,
+    operators=("EXT-text",),
+)
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-n-gram fraction, top-
+    n-gram mass for n=2,3) — per-row array math, zero shuffle; the
+    oracle recomputes both via DuckDB list lambdas. The oracle's
+    top-gram count is the O(distinct^2) formulation; the engine uses a
+    sorted-run-length linear aggregate — same numbers, cheaper plan."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        repetition_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(docs).drop("text")
+
+
+_C4_STOPWORDS = STOPWORDS["en"]
+
+
+@register(
+    "c4_style_filters",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS l, text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(l) AS INTEGER) AS n_words,
+           len(list_filter(l, w -> list_contains(
+               [{", ".join(f"'{w}'" for w in _C4_STOPWORDS)}], w))) / len(l)
+               AS stopword_frac,
+           length(regexp_replace(text, '\s+', '', 'g')) / len(l)
+               AS mean_word_len,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               / length(regexp_replace(text, '\s+', '', 'g')) AS symbol_frac,
+           (len(l) >= 10 AND len(l) <= 100000
+            AND length(regexp_replace(text, '\s+', '', 'g')) / len(l)
+                BETWEEN 2 AND 12
+            AND length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                / length(regexp_replace(text, '\s+', '', 'g')) <= 0.1)
+               AS keep
+    FROM t
+    """,
+    operators=("EXT-text", "P9"),
+)
+def c4_style_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style hard document filters: word-count bounds, mean word
+    length band, symbol-character ratio cap, stopword fraction — and
+    the resulting keep/drop decision. Pure per-row column math (one
+    projection, no shuffle); the oracle recomputes every ratio and the
+    boolean in SQL so the filter thresholds themselves are verified,
+    not just the plumbing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+    n_words = F.size(words)
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    symbols = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _C4_STOPWORDS])
+    stopword_cnt = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, w))
+    )
+    mean_word_len = nonspace / n_words
+    symbol_frac = symbols / nonspace
+    keep = (
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & mean_word_len.between(2, 12)
+        & (symbol_frac <= 0.1)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (stopword_cnt / n_words).alias("stopword_frac"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_frac.alias("symbol_frac"),
+        keep.alias("keep"),
+    )
+
+
+@register("embedding_cluster_sizes", oracle=None, operators=("EXT-sim",))
+def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic-balance profile: k-means cell occupancy over the
+    embedding space (the IVF coarse quantizer reused as a clustering
+    operator). Cell ids are engine/seed-specific -> rows-only; the
+    pytest suite asserts the partition property (sizes sum to N, no
+    empty input rows lost)."""
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        build_ivf_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = build_ivf_assignments(emb, "vec_id", "embedding", n_lists=16)
+    return (
+        assigned.groupBy(F.col("__list").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster_id")
     )
 
 

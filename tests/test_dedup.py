@@ -206,3 +206,28 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in connected_components(pairs, reliable_checkpoint=True).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_repetition_signals_semantics(spark):
+    """dup/top n-gram fractions: hand-checked values plus the
+    short-document null guard (fewer tokens than the gram size)."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab,ba,ab,ba,ab -> dup 3/5, top 3/5
+            (2, "x y z w"),       # all bigrams distinct
+            (3, "q"),             # too short for bigrams
+            (4, "q r"),           # one bigram, no trigram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].dup_bigram_frac == 0.6 and rows[1].top_bigram_frac == 0.6
+    assert rows[1].dup_trigram_frac == 0.5 and rows[1].top_trigram_frac == 0.5
+    assert rows[2].dup_bigram_frac == 0.0
+    assert rows[2].top_bigram_frac == 1 / 3
+    assert rows[3].dup_bigram_frac is None and rows[3].top_trigram_frac is None
+    assert rows[4].dup_bigram_frac == 0.0 and rows[4].dup_trigram_frac is None

@@ -1,7 +1,22 @@
-"""Multimodal plumbing: binary payload columns through mapInPandas."""
+"""Multimodal plumbing: binary payload columns through mapInPandas,
+with REAL stdlib PNG/WAV decode kernels (extensions/codecs.py)."""
 
 from __future__ import annotations
 
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from aws_imdb_data_pipeline_spark.extensions.codecs import (
+    _PNG_SIG,
+    _chunk,
+    decode_png,
+    decode_wav_pcm16,
+    encode_png,
+    encode_wav_pcm16,
+)
 from aws_imdb_data_pipeline_spark.extensions.multimodal import (
     FEATURE_SCHEMA,
     extract_features,
@@ -27,3 +42,114 @@ def test_payload_hash_deterministic(spark):
     h2 = {r.media_id: r.payload_hash for r in extract_features(media).collect()}
     assert h1 == h2
     assert len(set(h1.values())) == 12  # distinct payloads → distinct hashes
+
+
+def test_real_png_decode_features(spark):
+    """Image rows carry real PNGs; the kernel must recover exact
+    dimensions and the numpy-computed mean luma."""
+    media = synthetic_media(spark, n=30)
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    for i in range(0, 30, 3):  # image rows
+        rng = np.random.default_rng(1000 + i)
+        w, h = 8 + (i % 5), 6 + (i % 4)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        r = rows[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_luma == pytest.approx(round(float(px.mean()), 4))
+        assert r.n_samples is None  # audio features null on images
+
+
+def test_real_wav_decode_features(spark):
+    media = synthetic_media(spark, n=30)
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    for i in range(1, 30, 3):  # audio rows
+        n_samp = 100 + (i % 7) * 50
+        r = rows[i]
+        assert r.n_samples == n_samp
+        assert r.sample_rate == 8000
+        assert r.duration_ms == n_samp * 1000 // 8000
+        assert r.payload_bytes == 44 + 2 * n_samp
+        assert r.rms is not None and r.rms > 0
+        assert r.width is None  # image features null on audio
+
+
+def test_undecodable_payload_falls_back(spark):
+    """A corrupt payload must not kill the stage — byte features only."""
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (0, "image", b"\x89PNG\r\n\x1a\nGARBAGE", "image/png", None, None, None),
+        (1, "audio", b"RIFFnope", "audio/wav", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[0].payload_bytes == 15 and feats[0].width is None
+    assert feats[1].payload_bytes == 8 and feats[1].n_samples is None
+
+
+# --- codec unit tests (no Spark) -------------------------------------
+
+
+def test_png_roundtrip_shapes():
+    rng = np.random.default_rng(7)
+    for shape in [(5, 7), (8, 8, 3), (4, 6, 4), (3, 3, 2), (1, 1)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        d = decode_png(encode_png(a))
+        expect = a[:, :, None] if a.ndim == 2 else a
+        assert d.shape == expect.shape and (d == expect).all()
+
+
+def _craft_png(img: np.ndarray, ftype: int) -> bytes:
+    """Encode with a specific non-zero filter type to exercise the
+    Sub/Up/Average/Paeth unfilter paths the encoder itself never emits."""
+    h, w, c = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c], 0, 0, 0)
+    out, prev = [], np.zeros(w * c, np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = np.empty_like(cur)
+        for x in range(w * c):
+            a = cur[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            f[x] = (cur[x] - pred) & 0xFF
+        out.append(bytes([ftype]) + f.astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(out)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_decode_all_filters(ftype):
+    rng = np.random.default_rng(40 + ftype)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert (decode_png(_craft_png(img, ftype)) == img).all()
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=777).astype(np.int16)
+    blob = encode_wav_pcm16(s, 8000)
+    assert len(blob) == 44 + 2 * 777
+    arr, rate = decode_wav_pcm16(blob)
+    assert rate == 8000 and arr.shape == (777, 1) and (arr[:, 0] == s).all()

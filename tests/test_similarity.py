@@ -213,3 +213,18 @@ def test_cosine_topk_ivf_recall_and_scores(spark, sf_dir):
     # observed 0.64 @ local[8], 0.77 @ local[32]; assert the floor
     recall = len(set(approx) & set(truth)) / len(truth)
     assert recall >= 0.55
+
+
+def test_embedding_cluster_sizes_partition_property(spark, sf_dir):
+    """k-means cell occupancy is a partition of the corpus: sizes sum
+    to N, every cell non-negative, deterministic across runs."""
+    from aws_imdb_data_pipeline_spark.plans import REGISTRY
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    r1 = {r.cluster_id: r.n_vectors
+          for r in REGISTRY["embedding_cluster_sizes"].fn(spark, sf_dir).collect()}
+    assert sum(r1.values()) == n
+    assert all(v >= 0 for v in r1.values())
+    r2 = {r.cluster_id: r.n_vectors
+          for r in REGISTRY["embedding_cluster_sizes"].fn(spark, sf_dir).collect()}
+    assert r1 == r2
