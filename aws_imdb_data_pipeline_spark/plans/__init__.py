@@ -39,6 +39,9 @@ _FRONT = [
     "multimodal_wav_roundtrip",
     "repetition_signals",
     "c4_style_filters",
+    "dedup_keep_list",
+    "corpus_top_ngrams",
+    "source_quality_profile",
     "text_bpe_token_counts",
     "fuzzy_part_name_pairs",
     "dedup_components",

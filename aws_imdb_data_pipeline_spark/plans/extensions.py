@@ -6,7 +6,7 @@ engine-independent (everything except hash-seeded LSH internals).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.extensions.dedup import (
@@ -500,6 +500,122 @@ def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_signals(docs).drop("text")
+
+
+@register(
+    "dedup_keep_list",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               lower(regexp_replace(text, '\s+', ' ', 'g')) AS ntext
+        FROM documents
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY ntext) AS survivor_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY ntext) AS is_kept
+    FROM norm
+    """,
+    operators=("EXT-dedup", "W1"),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational dedup artifact: one row PER DOCUMENT with its
+    canonical survivor (min doc_id among normalized-text duplicates)
+    and the keep/drop decision — the frame a corpus build joins
+    against, rather than the per-group summary `dedup_exact_documents`
+    emits. One shuffle on the normalized text; at 100 TB partition on
+    xxhash64(ntext) instead so shuffle rows stay narrow (the window
+    only needs the hash for grouping, collisions then re-checked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntext = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    w = Window.partitionBy(ntext)
+    survivor = F.min("doc_id").over(w)
+    return docs.select(
+        "doc_id",
+        survivor.alias("survivor_id"),
+        (F.col("doc_id") == survivor).alias("is_kept"),
+    )
+
+
+@register(
+    "corpus_top_ngrams",
+    oracle=r"""
+    WITH toks AS (
+        SELECT string_split_regex(text, '\s+') AS l FROM documents
+    ), grams AS (
+        SELECT unnest(list_transform(range(1, len(l) - 1),
+                   i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+        FROM toks
+    )
+    SELECT gram, COUNT(*) AS n_occurrences
+    FROM grams
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 20
+    """,
+    operators=("EXT-text", "A1", "O3"),
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detector: the globally most frequent
+    word trigrams (count desc, gram asc tiebreak). Explode -> count is
+    one shuffle with map-side partial aggregation; the final top-k is
+    TakeOrderedAndProject (no global sort). Head-heavy gram skew is
+    exactly what partial agg absorbs — each map task collapses its
+    local copies of a hot gram before the exchange."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import _ngrams, _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(_ngrams(_words("text"), 3)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@register(
+    "source_quality_profile",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           SUM(n_chars) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) / (SELECT COUNT(*) FROM documents) AS corpus_share
+    FROM documents
+    GROUP BY source
+    """,
+    operators=("EXT-corpus", "A2", "A5"),
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition report (doc counts, char volume,
+    language spread, corpus share) — the table a mixture designer reads
+    before setting sampling weights. Single aggregate shuffle on the
+    low-cardinality source key; the corpus total rides along as a
+    scalar subquery -> broadcast, not a second scan in the engine (the
+    count reuses the grouped frame via a window-free cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    # corpus total via a whole-frame window over the ALREADY-AGGREGATED
+    # rows (one per source — tens, not billions), so the raw table is
+    # scanned once; the single-partition window touches only that tiny
+    # summary, never the corpus.
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return per_source.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        "n_langs",
+        (F.col("n_docs") / total).alias("corpus_share"),
+    )
 
 
 _C4_STOPWORDS = STOPWORDS["en"]
