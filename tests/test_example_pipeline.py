@@ -68,3 +68,45 @@ def test_dbt_test_halts_on_null_model_column(spark):
     with pytest.raises(AssertionError, match="not_null\\[tconst"):
         dbt_test({"marts_movie_facts_view": bad_view,
                   "marts_episode_season_trends": trends})
+
+
+def test_corpus_pipeline_end_to_end(tmp_path, spark):
+    """The corpus-build example: quality gates, redaction, dedup,
+    decontamination, splits, mixture, packing, partitioned write,
+    expectation gate — all in one run, with invariants checked on
+    the built lake."""
+    from run_corpus_pipeline import build_corpus
+
+    out = str(tmp_path / "corpus")
+    stats = build_corpus(spark, "/root/testdata/sf0.001", out)
+    assert stats["built_docs"] <= stats["raw_docs"]
+    assert set(stats["splits"]) <= {"train", "val", "test"}
+    assert stats["train_bins"] >= 1
+
+    built = spark.read.parquet(out)
+    # split is recoverable from doc_id -> no doc may sit in two splits
+    assert built.select("doc_id").distinct().count() == built.count()
+    # every train doc landed in a bin; non-train docs have no bin
+    from pyspark.sql import functions as F
+
+    assert built.filter(
+        (F.col("split") == "train") & F.col("bin_id").isNull()
+    ).count() == 0
+    assert built.filter(
+        (F.col("split") != "train") & F.col("bin_id").isNotNull()
+    ).count() == 0
+    # bins obey the starting-offset rule exactly: recompute the running
+    # token offset in doc_id order and check bin = floor(start / budget)
+    from run_corpus_pipeline import PACK_BUDGET
+
+    train_rows = (
+        built.filter(F.col("bin_id").isNotNull())
+        .withColumn("n_tokens", F.size(F.split(F.col("clean_text"), r"\s+")))
+        .select("doc_id", "n_tokens", "bin_id")
+        .orderBy("doc_id")
+        .collect()
+    )
+    offset = 0
+    for r in train_rows:
+        assert r.bin_id == offset // PACK_BUDGET, r
+        offset += r.n_tokens

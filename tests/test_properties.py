@@ -124,3 +124,48 @@ def test_hash_split_proportions_and_determinism(spark):
         .count()
     )
     assert moved > 0
+
+
+# --- media codec properties (pure Python, no Spark session) ----------
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    import numpy as np
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@given(
+    n=st.integers(0, 2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, size=n).astype(np.int16)
+    blob = encode_wav_pcm16(s, rate)
+    assert len(blob) == 44 + 2 * n
+    arr, got_rate = decode_wav_pcm16(blob)
+    assert got_rate == rate and arr.shape == (n, 1)
+    assert (arr[:, 0] == s).all()
