@@ -63,6 +63,7 @@ _FRONT = [
     "corpus_redaction_stats",
     "corpus_mixture_sample",
     "corpus_prefix_sum_check",
+    "price_percentiles_approx",
 ]
 
 
