@@ -18,6 +18,7 @@ from aws_imdb_data_pipeline_spark.plans import relational  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import relational2  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import relational3  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import relational4  # noqa: E402,F401
+from aws_imdb_data_pipeline_spark.plans import relational5  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import quality  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import extensions  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import streaming_batch  # noqa: E402,F401

@@ -1,0 +1,413 @@
+"""Fifth relational batch: the remaining TPC-H-shaped decision-support
+patterns expressible on the test lake's columns — conditional EXISTS
+semi-join, bidirectional nation trade, market share, synthetic profit,
+argmax-by-join, group-HAVING join-back, disjunctive join predicates,
+and scalar-subquery anti-join. The reference's SQL surface (Athena/dbt)
+supports all of these shapes; together with relational.py/2/3/4 a user
+can run any of the classic warehouse query forms.
+
+Cross-engine float policy (see plans.relational.stable_avg): ROUND only
+SUMs, never a quotient or comparison boundary computed per-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS with a correlated inequality — conditional
+# left-semi join (the anti of customers_without_orders' anti-join).
+# ---------------------------------------------------------------------------
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS late_orders
+    FROM orders o
+    WHERE year(o_orderdate) = 1997
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    operators=("J-semi", "A1", "F13"),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (1997) with >= 1 lineitem shipped > 60 days after the
+    order date, counted per priority. The correlated EXISTS becomes a
+    LEFT SEMI join whose condition carries the inequality — Spark
+    dedups the probe side in the join itself (no distinct needed), and
+    the orders-side year filter is pushed to the parquet scan.
+
+    Scale: semi join shuffles both sides on l_orderkey once; the
+    fact-side payload is just (orderkey, shipdate)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("late_orders"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_trade_by_year",
+    oracle="""
+    SELECT n_s.n_name AS supp_nation, n_c.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+    WHERE (n_s.n_name = 'NATION_1' AND n_c.n_name = 'NATION_2')
+       OR (n_s.n_name = 'NATION_2' AND n_c.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    operators=("J3", "J-self", "A1", "F13"),
+)
+def nation_trade_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between two nations, both directions, per ship
+    year. The nation dimension joins twice (supplier side, customer
+    side) — both broadcast; the disjunctive pair filter runs after the
+    dim joins attach names but before the aggregate.
+
+    Scale: the only big-big shuffle is lineitem->orders on the order
+    key; all four dimension attachments are broadcasts, so the fact
+    table is shuffled exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.round(F.sum(_revenue()), 4).alias("volume"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one supplier nation within a
+# customer region, per year — conditional-sum ratio.
+# ---------------------------------------------------------------------------
+@register(
+    "market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           ROUND(SUM(CASE WHEN n_s.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0 END), 4)
+           / ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4)
+           AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+    JOIN region ON n_c.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+    WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    GROUP BY 1
+    """,
+    operators=("J3", "A6", "F13", "P4"),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5's share of PROMO-part revenue sold into EUROPE, per
+    order year. Both sums are rounded (snapping the two engines' sums
+    to identical doubles) and then divided WITHOUT rounding — identical
+    operands give a bitwise-identical quotient (see stable_avg).
+
+    Scale: part/customer/nation/region/supplier all broadcast; the
+    selective part+region filters shrink the fact stream before the
+    single lineitem->orders shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    rev = _revenue()
+    national = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        (F.round(F.sum(national), 4) / F.round(F.sum(rev), 4)).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: synthetic profit by supplier nation and year (the
+# test lake has no partsupp, so cost is proxied from p_retailprice).
+# ---------------------------------------------------------------------------
+@register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           ROUND(SUM(l_extendedprice * (1.0 - l_discount)
+                     - 0.01 * p_retailprice * l_quantity), 4) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    operators=("J3", "A1", "F2", "F13"),
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit (revenue minus a 1%-of-retail unit cost proxy) for
+    widget parts, by supplier nation and order year. The part-name
+    LIKE filter is broadcast with the part keys so the fact stream
+    shrinks before its one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    profit = _revenue() - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year")
+    ).agg(F.round(F.sum(profit), 4).alias("profit"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: argmax — supplier(s) with the maximum revenue in a
+# quarter, found by joining against the aggregated max (no window).
+# ---------------------------------------------------------------------------
+@register(
+    "top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1998-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    operators=("A2", "J1", "O-argmax"),
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-revenue supplier for 1998Q1. The scalar MAX subquery becomes
+    a 1-row broadcast cross join against the per-supplier aggregate —
+    no global window, no second scan of lineitem. The equality filter
+    runs on each engine's own unrounded sums (both engines aggregate
+    identical doubles; only the reported value is rounded)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    best = revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx")).drop(
+        "__mx"
+    )
+    return (
+        best.join(F.broadcast(supp), best.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: GROUP BY ... HAVING on the fact, joined back to the
+# enclosing dimensions.
+# ---------------------------------------------------------------------------
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 4) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 200)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    operators=("A2", "A-having", "J1", "J-semi"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 200, with their customers.
+    The HAVING subquery is a semi join of orders against the aggregated
+    keeper keys; quantities are then re-aggregated per (customer,
+    order) for the report.
+
+    Scale: the keeper-key aggregate and the report aggregate both
+    shuffle on l_orderkey — AQE reuses the exchange; customer attaches
+    by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    keepers = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select("l_orderkey")
+    )
+    big = orders.join(
+        keepers, orders.o_orderkey == keepers.l_orderkey, "left_semi"
+    )
+    return (
+        li.join(big, li.l_orderkey == big.o_orderkey)
+        .join(F.broadcast(cust), big.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive band predicates spanning
+# both join sides.
+# ---------------------------------------------------------------------------
+@register(
+    "banded_brand_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    operators=("J1", "P2-disjunctive", "A6"),
+)
+def banded_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under a 3-way disjunction of (brand, size, quantity)
+    bands. The part-side disjuncts (brand OR'd, size <= the max band)
+    are pre-filtered onto the broadcast build side so the probe join
+    touches only possibly-matching parts; the full mixed-side
+    disjunction evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")
+        & F.col("p_size").between(1, 15)
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(_revenue()), 4).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar subquery threshold + anti join.
+# ---------------------------------------------------------------------------
+@register(
+    "dormant_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_custs,
+           ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT ROUND(SUM(c_acctbal), 4) / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+    operators=("J-anti", "A-scalar", "A1"),
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no order since 2000, by
+    segment. The scalar average joins as a 1-row broadcast (computed
+    with the stable ROUND(SUM)/COUNT form on both engines); the NOT
+    EXISTS is an anti join against date-filtered orders.
+
+    Scale: the anti join's build side is orders pruned by the date
+    predicate at the scan; customer never shuffles (broadcast scalar +
+    key-partitioned anti join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.round(F.sum("c_acctbal"), 4) / F.count("c_acctbal")).alias("__avg")
+    )
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg")).drop(
+        "__avg"
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+    )
