@@ -69,6 +69,41 @@ def hash_split_assignment(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "v1",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, chosen by a
+    deterministic pseudo-random order: rank rows within each stratum by
+    ``md5(salt || id)`` and keep the first k.
+
+    `mixture_sample`'s mod-key sampling hits a RATE per stratum; this
+    hits a COUNT — what evaluation-set construction needs ("exactly
+    1,000 held-out docs per language"). md5 of the decimal id string is
+    engine-portable (identical hex in Spark and ANSI SQL), so the
+    selection — unlike rand() or xxhash64 — is reproducible AND
+    oracle-checkable. Changing ``salt`` redraws the sample.
+
+    One shuffle (partition by stratum for the rank window). Skew note:
+    a giant stratum serializes into one task; for k << |stratum| at
+    100 TB, pre-thin each stratum with a bucket filter on the same md5
+    (keep ~4k/|stratum| of buckets) before ranking — same result set,
+    bounded task size.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalable global prefix sum → token-budget sequence packing
 # ---------------------------------------------------------------------------

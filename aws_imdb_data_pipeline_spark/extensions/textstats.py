@@ -120,6 +120,89 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_terms_per_doc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by term frequency, annotated with
+    smoothed TF-IDF: idf = ln((N+1)/(df+1)) + 1 (the scikit-learn
+    smoothing — never negative, never divides by zero).
+
+    The rank key is (tf DESC, word ASC) — pure integers, so the kept
+    set is bit-for-bit deterministic across engines; the transcendental
+    tfidf is annotation only (rounded, not ranked on).
+
+    Plan shape: explode → (doc, word) count [shuffle 1] → word document
+    frequency as a second aggregate over the (doc, word) frame
+    [shuffle 2, carries one row per distinct (doc, word)] → broadcast
+    back. The corpus-size scalar N joins as a 1-row broadcast.
+    """
+    from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    toks = df.select(F.col(id_col), F.explode(words).alias("word"))
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                4,
+            ),
+        )
+        .drop("__n")
+    )
+    return top_n_per_group(
+        scored.select(id_col, "word", "tf", "dfreq", "tfidf"),
+        partition_by=[id_col],
+        order_by=[F.desc("tf"), F.col("word")],
+        n=k,
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """First-round BPE merge induction: the k most frequent adjacent
+    character pairs across the corpus, weighted by word frequency —
+    i.e. what a BPE trainer would merge first.
+
+    Two-level aggregation keeps the explode bounded: words are counted
+    FIRST (shuffle carries one row per distinct word), then each
+    distinct word explodes into its character bigrams weighted by the
+    word's count — corpus-size-independent after the first aggregate.
+    Integer counts + (count DESC, pair ASC) ordering → deterministic.
+    """
+    from aws_imdb_data_pipeline_spark.operators.topk import top_k_global
+
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    ).filter(F.length("word") >= 2)
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("wcount"))
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wcount",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wcount").alias("pair_count"))
+    return top_k_global(counts, [F.desc("pair_count"), F.col("pair")], k)
+
+
 def _ngrams(words: Column, n: int) -> Column:
     """Word n-grams as space-joined strings; empty array when the doc
     has fewer than n tokens (sequence() would otherwise run backward)."""

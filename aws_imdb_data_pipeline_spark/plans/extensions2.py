@@ -1,0 +1,151 @@
+"""Second extensions batch: SCD2 history compression, exact stratified
+sampling, per-document top terms (TF-IDF-annotated), and first-round
+BPE merge induction — warehouse-lifecycle and corpus-prep operators a
+training-data pipeline needs beyond the reference's inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.extensions.corpus import stratified_sample_exact
+from aws_imdb_data_pipeline_spark.extensions.textstats import (
+    bpe_merge_candidates,
+    top_terms_per_doc,
+)
+from aws_imdb_data_pipeline_spark.operators.scd import scd2_compress
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "scd2_user_event_type",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), kept AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS INTEGER) AS version
+    FROM kept
+    """,
+    operators=("L-scd2", "W4", "W2"),
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension of each user's event_type state: consecutive
+    duplicates collapsed, validity intervals from change timestamps
+    (operators/scd.py). All windows hash-partition on user_id once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_compress(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("effective_from"),
+        "effective_to",
+        "is_current",
+        "version",
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('v1' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 40
+    """,
+    operators=("EXT-corpus", "W2"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(40, |stratum|) docs per language, drawn by the
+    engine-portable md5 order (extensions/corpus.py
+    stratified_sample_exact) — reproducible across engines AND runs,
+    unlike rand()/xxhash64 sampling."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample_exact(docs, stratum_col="lang", k=40, id_col="doc_id")
+
+
+@register(
+    "doc_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM toks WHERE word <> '' GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, COUNT(*) AS dfreq FROM tf GROUP BY word
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    SELECT doc_id, word, tf, dfreq,
+           ROUND(tf * (ln((n + 1.0) / (dfreq + 1.0)) + 1.0), 4) AS tfidf
+    FROM (
+      SELECT t.doc_id, t.word, t.tf, d.dfreq, n.n,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, t.word) AS rn
+      FROM tf t JOIN dfreq d USING (word) CROSS JOIN n)
+    WHERE rn <= 3
+    """,
+    operators=("EXT-text", "A2", "W2", "J1"),
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by term frequency with smoothed TF-IDF
+    annotation (extensions/textstats.py top_terms_per_doc). Integer
+    rank keys keep the kept set engine-deterministic; the
+    transcendental score is output-only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return top_terms_per_doc(docs, id_col="doc_id", text_col="text", k=3)
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT word, COUNT(*) AS wcount
+      FROM words WHERE length(word) >= 2 GROUP BY word
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                    i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
+             wcount
+      FROM wc
+    )
+    SELECT pair, CAST(SUM(wcount) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+    operators=("EXT-text", "A2", "O1"),
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 first-round BPE merge candidates (most frequent adjacent
+    character pairs weighted by word frequency). Words aggregate before
+    the bigram explode, so the explode input is the distinct-word set,
+    not the corpus (extensions/textstats.py bpe_merge_candidates)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_merge_candidates(docs, text_col="text", k=20)
