@@ -15,6 +15,7 @@ from aws_imdb_data_pipeline_spark.extensions.textstats import (
     top_terms_per_doc,
 )
 from aws_imdb_data_pipeline_spark.operators.scd import scd2_compress
+from aws_imdb_data_pipeline_spark.operators.zorder import zvalue_column, zvalue_sql
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
@@ -149,3 +150,39 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus (extensions/textstats.py bpe_merge_candidates)."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return bpe_merge_candidates(docs, text_col="text", k=20)
+
+
+_ZCOLS = ["l_partkey", "l_suppkey"]
+
+
+@register(
+    "zorder_locality_profile",
+    oracle=f"""
+    SELECT zbucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey & 255) AS min_pk, MAX(l_partkey & 255) AS max_pk,
+           MIN(l_suppkey & 255) AS min_sk, MAX(l_suppkey & 255) AS max_sk
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             {zvalue_sql(_ZCOLS, bits=8)} >> 10 AS zbucket
+      FROM lineitem)
+    GROUP BY zbucket
+    """,
+    operators=("EXT-zorder", "S-skip", "A2"),
+)
+def zorder_locality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality: bucket lineitem by the top 6 bits of the
+    Morton z-value over (l_partkey, l_suppkey) and report each
+    bucket's span in BOTH dimensions (operators/zorder.py). Narrow
+    per-bucket spans in every column are exactly why a z-ordered
+    layout lets parquet zone maps skip row groups for predicates on
+    any z-column; the SQL twin oracle-checks the bit interleave."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = li.withColumn("zbucket", F.shiftright(zvalue_column(_ZCOLS, bits=8), 10))
+    pk = F.col("l_partkey").bitwiseAND(F.lit(255))
+    sk = F.col("l_suppkey").bitwiseAND(F.lit(255))
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(pk).alias("min_pk"), F.max(pk).alias("max_pk"),
+        F.min(sk).alias("min_sk"), F.max(sk).alias("max_sk"),
+    )

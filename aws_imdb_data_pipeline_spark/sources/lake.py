@@ -1,4 +1,4 @@
-"""Partitioned parquet lake writer (S2-S4, S9, L2).
+"""Partitioned parquet lake writer (S2-S4, S9, L2) and keyed merge.
 
 The reference writes Hive-partitioned parquet with a pre-write
 ``repartition`` on the partition columns so each partition gets ~1
@@ -18,7 +18,11 @@ tasks x partitions small files); skewed partitions are split by AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -67,3 +71,56 @@ def replace_run_partition(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    staging_dir: str | None = None,
+) -> None:
+    """MERGE INTO for a plain-parquet table: rows in ``updates`` replace
+    target rows with the same key; unmatched update rows insert;
+    untouched target rows survive. The upsert half of what table
+    formats (Delta/Iceberg) do transactionally, expressed on bare
+    parquet.
+
+    Scale shape: with ``partition_cols``, only the partitions the
+    updates TOUCH are read and rewritten — the target slice is loaded
+    with a partition-pruned scan (semi join against the updates'
+    distinct partition values, broadcast), survivors are found with an
+    anti join on the key, and the dynamic-overwrite commit replaces
+    exactly those slices. A 100 TB table with a 1-partition update
+    rewrites one partition, not the table. Without ``partition_cols``
+    the whole table is rewritten (documented cost of formatless MERGE).
+
+    Because the plan both reads and overwrites ``path``, the merged
+    slice is materialized to a staging directory first, then the
+    commit re-reads staging — a lazy plan that read its own overwrite
+    target mid-write would corrupt it. Staging adds one extra write of
+    the affected slice only; table formats avoid it with metadata
+    commits, which plain parquet does not have.
+    """
+    staging = staging_dir or f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    target = spark.read.parquet(path)
+    if partition_cols:
+        touched = updates.select(*partition_cols).distinct()
+        slice_df = target.join(F.broadcast(touched), partition_cols, "left_semi")
+    else:
+        slice_df = target
+    survivors = slice_df.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*survivors.columns))
+    merged.write.mode("overwrite").parquet(staging)
+    if not partition_cols:
+        # staging IS the new table — swap it into place, no second write
+        shutil.rmtree(path)
+        shutil.move(staging, path)
+        return
+    try:
+        replace_run_partition(spark.read.parquet(staging), path, partition_cols)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -65,3 +65,39 @@ def test_replace_run_partition_idempotent(spark, tmp_path):
     back = spark.read.parquet(out)
     got = {(r.run_date, r.v) for r in back.collect()}
     assert got == {("d1", 99), ("d2", 2)}
+
+
+def test_merge_upsert_partitioned_touches_only_affected(spark, tmp_path):
+    from aws_imdb_data_pipeline_spark.sources.lake import merge_upsert
+
+    out = str(tmp_path / "lake3")
+    base = spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c"), ("d3", 4, "d")],
+        ["run_date", "id", "val"],
+    )
+    write_partitioned(base, out, ["run_date"])
+    d3_files = sorted(os.listdir(os.path.join(out, "run_date=d3")))
+    # update id=1 (existing) and insert id=9, both in d1; d2/d3 untouched
+    updates = spark.createDataFrame(
+        [("d1", 1, "A2"), ("d1", 9, "new")], ["run_date", "id", "val"]
+    )
+    merge_upsert(spark, out, updates, key_cols=["id"], partition_cols=["run_date"])
+    back = spark.read.parquet(out)
+    got = {(r.run_date, r.id, r.val) for r in back.collect()}
+    assert got == {
+        ("d1", 1, "A2"), ("d1", 2, "b"), ("d1", 9, "new"),
+        ("d2", 3, "c"), ("d3", 4, "d"),
+    }
+    # untouched partition's files were not rewritten
+    assert sorted(os.listdir(os.path.join(out, "run_date=d3"))) == d3_files
+
+
+def test_merge_upsert_unpartitioned_full_rewrite(spark, tmp_path):
+    from aws_imdb_data_pipeline_spark.sources.lake import merge_upsert
+
+    out = str(tmp_path / "lake4")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"]).write.parquet(out)
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "val"])
+    merge_upsert(spark, out, updates, key_cols=["id"])
+    got = {(r.id, r.val) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
