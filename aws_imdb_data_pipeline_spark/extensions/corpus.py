@@ -193,6 +193,53 @@ def pack_documents(
 
 
 # ---------------------------------------------------------------------------
+# Context-window document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping fixed-word-count chunks —
+    the context-window preparation step for embedding/retrieval indexes
+    and for packing long documents into model windows.
+
+    Chunk ``i`` covers words ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; the last chunk may be shorter,
+    and a document shorter than ``chunk_size`` yields exactly one
+    chunk. Output grain is (doc, chunk): ``chunk_id`` (0-based),
+    ``chunk_text``, ``n_chunk_words``.
+
+    Entirely JVM-side higher-order functions (``sequence`` →
+    ``transform`` → ``slice`` → ``posexplode``) — no Python UDF, so the
+    explode pipelines inside whole-stage codegen. Zero shuffle: chunking
+    is a per-row flatMap; downstream consumers decide partitioning.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((F.size(words) - F.lit(chunk_size)) / F.lit(stride)) + 1).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * stride + 1, chunk_size), " "),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return exploded.withColumn(
+        "n_chunk_words", F.size(F.split(F.col("chunk_text"), " "))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark contamination check
 # ---------------------------------------------------------------------------
 

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.extensions.corpus import (
+    chunk_documents,
     contamination_overlap,
     hash_split_assignment,
     mixture_sample,
@@ -222,6 +223,45 @@ def corpus_prefix_sum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return prefix_sum(docs, "doc_id", "n_chars", out_col="cumsum").select(
         "doc_id", F.col("cumsum").cast("bigint").alias("cumsum")
+    )
+
+
+@register(
+    "corpus_doc_chunks",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+        SELECT doc_id, words,
+               unnest(generate_series(
+                   0,
+                   GREATEST(1, CAST(CEIL((len(words) - 32) / 24.0) AS INT) + 1) - 1
+               )) AS chunk_id
+        FROM w
+    )
+    SELECT doc_id, chunk_id,
+           len(words[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_chunk_words,
+           md5(array_to_string(
+               words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_md5
+    FROM c
+    """,
+    operators=("EXT-corpus", "F1", "F2", "F4"),
+)
+def corpus_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (extensions/corpus.py:chunk_documents):
+    32-word chunks with 8-word overlap (stride 24), one output row per
+    (doc, chunk). Chunk text is reported as a portable md5 so the
+    oracle compare stays narrow. Chunking is a zero-shuffle per-row
+    flatMap in whole-stage codegen — sequence/transform/slice, no
+    Python UDF; at 100 TB the explode multiplies rows ~2-4x but never
+    exchanges them."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=32, overlap=8).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("n_chunk_words").cast("bigint").alias("n_chunk_words"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
     )
 
 

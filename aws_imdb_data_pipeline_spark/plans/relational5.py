@@ -366,6 +366,116 @@ def banded_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 shape: fully-pushed-down filter + single global aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "discount_revenue_delta",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE year(l_shipdate) = 1997
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 15
+    """,
+    operators=("P2", "P5", "A7"),
+)
+def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be recovered by dropping small discounts on
+    small-quantity 1997 lines (the forecasting-what-if aggregate). The
+    whole query is one scan: every predicate is scan-pushable (year
+    range, discount band, quantity threshold) and the aggregate is a
+    partial+final sum — the cheapest possible plan shape, included so
+    the suite covers the filter-only/no-join extreme.
+
+    Scale: no shuffle beyond the 1-row final aggregate; the parquet
+    reader prunes to 3 columns and row groups matching the predicates."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1997)
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 15)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact — the
+# "sole blocking supplier" pattern. The test lake has no
+# commit/receipt dates, so "kept the order waiting" is recast as
+# shipping > 60 days after the order date (same correlation shape).
+# ---------------------------------------------------------------------------
+@register(
+    "blocking_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    operators=("J-semi", "J-anti", "A4", "A6"),
+)
+def blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper in a finished
+    multi-supplier order, with how many of their lines were late. The
+    correlated EXISTS/NOT EXISTS pair collapses into one per-order
+    aggregate — distinct suppliers overall and distinct *late*
+    suppliers — so the fact table is scanned once instead of three
+    times; a row survives iff it is late, the order has >1 supplier,
+    and exactly 1 distinct late supplier (which must then be this one).
+
+    Scale: the join and both aggregates all hash on l_orderkey, so AQE
+    reuses a single exchange of the fact stream; supplier names attach
+    by broadcast at the end."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "__late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late_supp"
+        ),
+    )
+    keepers = per_order.filter(
+        (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
+    ).select(F.col("l_orderkey").alias("__ok"))
+    waiting = lo.filter(F.col("__late")).join(
+        keepers, F.col("l_orderkey") == F.col("__ok")
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q22 shape: scalar subquery threshold + anti join.
 # ---------------------------------------------------------------------------
 @register(

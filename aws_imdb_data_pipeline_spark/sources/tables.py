@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -28,9 +28,11 @@ TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark surfaces them as
-# long (see session.DEFAULT_CONF nanosAsLong); convert to microsecond
-# timestamps by truncation — the same conversion SQL engines apply.
+# Timestamp columns whose parquet physical type has varied across
+# testdata generations: TIMESTAMP(NANOS) (surfaced as long under
+# nanosAsLong) or naive TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ).
+# Both normalize to a session-UTC TimestampType so every downstream
+# operator sees one type regardless of which generation wrote the file.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -48,9 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, LongType):
             # integer div keeps full int64 precision (double would not)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dtype, TimestampNTZType):
+            # naive micros: same wall time, session tz already pinned UTC
+            df = df.withColumn(col, F.to_timestamp(F.col(col)))
     return df
 
 

@@ -85,3 +85,40 @@ def test_bpe_pairs_are_bigrams(spark, sf_dir):
     assert all(len(r["pair"]) == 2 and r["pair"].isalpha() for r in pairs)
     counts = [r["pair_count"] for r in pairs]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunks tile the word sequence: stride-spaced starts, every chunk
+    except the last is full-size, consecutive chunks share exactly
+    `overlap` words, and concatenating chunk heads reconstructs the
+    document."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import chunk_documents
+
+    words = [f"w{i}" for i in range(75)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:5])), (3, " ".join(words[:32]))],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=32, overlap=8)
+    rows = {
+        (r.doc_id, r.chunk_id): r.chunk_text.split(" ")
+        for r in out.collect()
+    }
+    # doc 2 (5 words < chunk) and doc 3 (exactly chunk) -> one chunk each
+    assert [k for k in rows if k[0] == 2] == [(2, 0)]
+    assert rows[(2, 0)] == words[:5]
+    assert [k for k in rows if k[0] == 3] == [(3, 0)]
+    assert rows[(3, 0)] == words[:32]
+    # doc 1: 75 words, stride 24 -> ceil((75-32)/24)+1 = 3 chunks
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2]
+    for i in d1:
+        chunk = rows[(1, i)]
+        assert chunk == words[i * 24 : i * 24 + 32]
+        if i > 0:
+            assert rows[(1, i - 1)][-8:] == chunk[:8] or len(chunk) < 32
+    # full coverage: union of chunk word positions == all positions
+    covered = set()
+    for i in d1:
+        covered.update(range(i * 24, min(i * 24 + 32, 75)))
+    assert covered == set(range(75))
