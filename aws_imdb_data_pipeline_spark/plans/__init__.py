@@ -66,6 +66,27 @@ _FRONT = [
     "corpus_mixture_sample",
     "corpus_prefix_sum_check",
     "price_percentiles_approx",
+    # Oracled queries added after the round-3 reorder — also never
+    # externally verified; keeping them in the 50-entry prefix means
+    # every round-3 addition gets a verification row this round while
+    # the rounds-1/2-green core queries (all 45 already have external
+    # rows) fill the remainder.
+    "late_shipment_priority",
+    "nation_trade_by_year",
+    "market_share",
+    "profit_by_nation_year",
+    "top_supplier",
+    "large_volume_customers",
+    "banded_brand_revenue",
+    "dormant_rich_customers",
+    "scd2_user_event_type",
+    "corpus_stratified_sample",
+    "doc_top_terms",
+    "bpe_merge_pairs",
+    "zorder_locality_profile",
+    "discount_revenue_delta",
+    "blocking_suppliers",
+    "corpus_doc_chunks",
 ]
 
 
