@@ -1,4 +1,5 @@
 from aws_imdb_data_pipeline_spark.streaming.stateful import (
+    user_event_type_counts,
     user_running_totals,
 )
 from aws_imdb_data_pipeline_spark.streaming.events import (
@@ -14,6 +15,7 @@ __all__ = [
     "sliding_value_stats",
     "sessionize",
     "stream_events_from_dir",
+    "user_event_type_counts",
     "user_running_totals",
     "stream_to_lake",
 ]

@@ -1,4 +1,5 @@
-"""Custom stateful streaming operators via applyInPandasWithState.
+"""Custom stateful streaming operators via applyInPandasWithState and
+the Spark 4 ``transformWithStateInPandas`` API.
 
 Where the built-in windowed aggregations can't express the semantics
 (per-key running counters with emission on every batch, custom session
@@ -7,6 +8,12 @@ logic, fraud counters...), Structured Streaming's
 machine. State is bounded by timeouts; at 100 TB/day the key space is
 partitioned across executors and each key's state lives in the state
 store (RocksDB in production configs).
+
+``transformWithStateInPandas`` (Spark ≥4.0) supersedes it with typed
+composite state (ValueState/ListState/MapState), per-state TTLs, and
+timers; ``user_event_type_counts`` demonstrates MapState — sub-keyed
+state that applyInPandasWithState could only fake by serializing a
+whole dict into one value column.
 """
 
 from __future__ import annotations
@@ -17,6 +24,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -86,4 +94,85 @@ def user_running_totals(
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=_TIMEOUTS[timeout],
+    )
+
+
+EVENT_TYPE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+
+def user_event_type_counts(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Running per-(user, event_type) counts via the Spark 4
+    ``transformWithStateInPandas`` API with MapState.
+
+    Each grouping key (user) holds a map event_type → count in the
+    state store; every micro-batch increments only the touched
+    sub-keys and emits their new totals (update-mode semantics). The
+    batch-mode equivalent is ``groupBy(user_id, event_type).count()``
+    — the stream-vs-batch test asserts exactly that equality after
+    draining the stream.
+
+    ``ttl_ms`` bounds state lifetime per sub-key (RocksDB-evictable at
+    scale); None keeps counts forever. State is sharded by user across
+    executors exactly like the aggregate's shuffle would be, so the
+    operator scales with the key space, not the stream length.
+
+    Runtime dependency: the transformWithState state-server protocol
+    needs ``protobuf`` in the Python environment (this container lacks
+    it, so the stream-vs-batch test auto-skips there; the operator is
+    fully exercised on any protobuf-equipped cluster).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-specific
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state-server protocol); install protobuf or use "
+            "user_running_totals (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _EventTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for et, cnt in pdf.groupby("event_type").size().items():
+                    batch[et] = batch.get(et, 0) + int(cnt)
+            out = []
+            for et, add in sorted(batch.items()):
+                k = (et,)
+                prev = (
+                    self._counts.getValue(k)[0]
+                    if self._counts.containsKey(k)
+                    else 0
+                )
+                self._counts.updateValue(k, (prev + add,))
+                out.append((key[0], et, prev + add))
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n_events"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_EventTypeCounts(),
+        outputStructType=EVENT_TYPE_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

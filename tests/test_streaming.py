@@ -298,3 +298,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # only click 10 (10:00) precedes purchase 20 (10:05) within 1h;
     # click 11 is after the purchase, user 2's purchase is 90min late
     assert got == {(10, 20)}
+
+
+def test_tws_event_type_counts_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas MapState operator: after draining the
+    stream, the max emitted count per (user, event_type) equals the
+    batch groupBy count. Skips where pyspark's state-server protocol
+    dependency (protobuf) is absent — see user_event_type_counts."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.streaming.stateful import (
+        user_event_type_counts,
+    )
+
+    batch_events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("user_id") < 50)
+    )
+    src = str(tmp_path / "tws_stream")
+    batch_events.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_events_from_dir(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        user_event_type_counts(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = (
+        spark.table("t_tws")
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = batch_events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    got = {(r.user_id, r.event_type): r.n_events for r in final.collect()}
+    want = {(r.user_id, r.event_type): r.n_events for r in expected.collect()}
+    assert got == want
