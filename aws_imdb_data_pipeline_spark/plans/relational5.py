@@ -434,15 +434,21 @@ def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who were the SOLE late shipper in a finished
     multi-supplier order, with how many of their lines were late. The
-    correlated EXISTS/NOT EXISTS pair collapses into one per-order
-    aggregate — distinct suppliers overall and distinct *late*
-    suppliers — so the fact table is scanned once instead of three
-    times; a row survives iff it is late, the order has >1 supplier,
-    and exactly 1 distinct late supplier (which must then be this one).
+    correlated EXISTS/NOT EXISTS pair collapses into two whole-
+    partition window sets over l_orderkey — distinct suppliers overall
+    and distinct *late* suppliers — so the fact table is scanned ONCE
+    and shuffled ONCE (no aggregate-then-join-back second traversal; a
+    plan test asserts the single scan). A row survives iff it is late,
+    its order has >1 supplier, and exactly 1 distinct late supplier
+    (which must then be this one).
 
-    Scale: the join and both aggregates all hash on l_orderkey, so AQE
-    reuses a single exchange of the fact stream; supplier names attach
-    by broadcast at the end."""
+    Scale: per-order groups are small (lines per order is bounded), so
+    the collect_set window state is tiny; supplier names attach by
+    broadcast at the end. When the orders join runs as a sort-merge on
+    l_orderkey at full scale, the window inherits that partitioning —
+    zero additional exchanges."""
+    from pyspark.sql import Window
+
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -456,17 +462,17 @@ def blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("__n_supp"),
-        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__n_late_supp"
-        ),
+    w = Window.partitionBy("l_orderkey")
+    # collect_set skips nulls, so the when() filter makes the second
+    # set count only late lines' suppliers
+    counted = lo.withColumn(
+        "__n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "__n_late_supp",
+        F.size(F.collect_set(F.when(F.col("__late"), F.col("l_suppkey"))).over(w)),
     )
-    keepers = per_order.filter(
-        (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
-    ).select(F.col("l_orderkey").alias("__ok"))
-    waiting = lo.filter(F.col("__late")).join(
-        keepers, F.col("l_orderkey") == F.col("__ok")
+    waiting = counted.filter(
+        F.col("__late") & (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
     )
     return (
         waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)

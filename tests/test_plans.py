@@ -122,3 +122,29 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         for t in ("t_bkt_orders", "t_bkt_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    """discount_revenue_delta is the filter-only extreme: the discount
+    band and quantity threshold must reach the parquet reader, and the
+    scan schema must stay narrow (3 data columns)."""
+    plan = plan_of(spark, sf_dir, "discount_revenue_delta")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    pushed = m.group(1)
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+
+
+def test_q21_single_fact_scan(spark, sf_dir):
+    """blocking_suppliers computes the EXISTS/NOT-EXISTS pair as
+    whole-partition windows over l_orderkey, so the plan must scan the
+    lineitem fact exactly once (no aggregate-then-join-back second
+    traversal) and attach supplier names by broadcast."""
+    plan = plan_of(spark, sf_dir, "blocking_suppliers")
+    assert plan.count("lineitem.parquet") == 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
