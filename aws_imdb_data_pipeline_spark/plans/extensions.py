@@ -490,10 +490,11 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (duplicate-n-gram fraction, top-
-    n-gram mass for n=2,3) — per-row array math, zero shuffle; the
-    oracle recomputes both via DuckDB list lambdas. The oracle's
-    top-gram count is the O(distinct^2) formulation; the engine uses a
-    sorted-run-length linear aggregate — same numbers, cheaper plan."""
+    n-gram mass for n=2,3) via explode + two-level hash aggregation;
+    the oracle recomputes both via DuckDB list lambdas (its top-gram
+    count is the O(distinct^2) formulation — same numbers, different
+    plan). See textstats.repetition_signals for why the exploded plan
+    beats per-row array lambdas ~40x here."""
     from aws_imdb_data_pipeline_spark.extensions.textstats import (
         repetition_signals,
     )
@@ -556,17 +557,16 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate detector: the globally most frequent
-    word trigrams (count desc, gram asc tiebreak). Explode -> count is
-    one shuffle with map-side partial aggregation; the final top-k is
-    TakeOrderedAndProject (no global sort). Head-heavy gram skew is
-    exactly what partial agg absorbs — each map task collapses its
-    local copies of a hot gram before the exchange."""
-    from aws_imdb_data_pipeline_spark.extensions.textstats import _ngrams, _words
+    word trigrams (count desc, gram asc tiebreak). Grams come from the
+    codegen-only exploded_ngrams builder (posexplode + lead window);
+    the count is one shuffle with map-side partial aggregation; the
+    final top-k is TakeOrderedAndProject (no global sort). Head-heavy
+    gram skew is exactly what partial agg absorbs — each map task
+    collapses its local copies of a hot gram before the exchange."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import exploded_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        F.explode(_ngrams(_words("text"), 3)).alias("gram")
-    )
+    grams = exploded_ngrams(docs, 3).select("gram")
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -735,9 +735,12 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_imdb_data_pipeline_spark.extensions.ivf import cosine_topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Sampled quantizer fit (the documented scale path — at 100 TB the
+    # coarse quantizer is NEVER fit on the full corpus): cell quality
+    # only affects recall, which the recall tests pin.
     return cosine_topk_ivf(
         emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
-        k=5, n_lists=16, n_probe=4,
+        k=5, n_lists=16, n_probe=4, max_iter=6, fit_fraction=0.25,
     )
 
 
