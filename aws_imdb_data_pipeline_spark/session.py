@@ -34,6 +34,8 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Partition discovery/pruning over the parquet lake.
     "spark.sql.parquet.filterPushdown": "true",
+    # Let Python DataSources (sources.docgen) absorb pushed filters.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Cost-based join reordering: inert without table stats, effective
     # once lifecycle.catalog.register_lake_table(analyze=True) has
     # recorded rowCount/size (the Spark-side ANALYZE TABLE step).

@@ -60,6 +60,20 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     run_noop(REGISTRY["pricing_summary"].fn(spark, sf_dir))
 
+    # machine-speed calibration: a fixed CPU-bound job whose cost is
+    # independent of this repo's code. The host is multi-tenant and its
+    # effective speed swings 2-5x between runs; dividing query times by
+    # calib_sec (or just eyeballing it) separates "code got slower"
+    # from "machine was busier" across rounds.
+    calib = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2)").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        calib = min(calib, time.perf_counter() - t0)
+    calib = round(calib, 3)
+
     # best-of-2 per query: the host is multi-tenant and a single pass
     # can be inflated 50%+ by co-tenant load spikes; min-of-runs
     # recovers the machine-capability number.
@@ -101,6 +115,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                "calib_sec": calib,
                 "queries": times,
                 "regressions": regressions,
             },
@@ -116,6 +131,7 @@ def main() -> None:
                 "metric": "headline_suite_seconds",
                 "value": total,
                 "unit": "sec",
+                "calib_sec": calib,
                 "queries": {n: times[n] for n in HEADLINE},
                 "sf": sf,
             }
