@@ -293,12 +293,30 @@ def repetition_signals(
 
     Docs shorter than the gram size get NULL fractions (no gram rows →
     left-join nulls), matching the SQL ``CASE WHEN len > 0`` guard.
+
+    Cost shape (measured at 10^6 docs): ONE posexplode + position
+    window builds bigrams and trigrams together and is persisted, so
+    the two per-doc aggregates don't re-tokenize; the two stat frames
+    are narrow (id + 2 doubles) and join to the input once — the wide
+    ``text`` column crosses exactly one exchange. (The gram cache is
+    left to LRU eviction — both consumers run within the one job the
+    caller triggers, so pinning it past that would only displace
+    other cached data.)
     """
-    out = df
-    for n, label in ((2, "bigram"), (3, "trigram")):
-        ex = exploded_ngrams(df, n, text_col=text_col, id_col=id_col, out_col="__g")
-        stats = (
-            ex.groupBy(id_col, "__g")
+    words = _words(text_col)
+    tok = df.select(F.col(id_col), F.posexplode(words).alias("__pos", "__w"))
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    l1, l2 = F.lead("__w", 1).over(win), F.lead("__w", 2).over(win)
+    grams = tok.select(
+        F.col(id_col),
+        F.when(l1.isNotNull(), F.concat_ws(" ", "__w", l1)).alias("__g2"),
+        F.when(l2.isNotNull(), F.concat_ws(" ", "__w", l1, l2)).alias("__g3"),
+    ).persist()
+
+    def _stats(gram_col: str, label: str) -> DataFrame:
+        per_doc = (
+            grams.filter(F.col(gram_col).isNotNull())
+            .groupBy(id_col, gram_col)
             .agg(F.count(F.lit(1)).alias("__c"))
             .groupBy(id_col)
             .agg(
@@ -308,12 +326,13 @@ def repetition_signals(
             )
         )
         # raw quotients (identical int operands across engines)
-        stats = stats.select(
+        return per_doc.select(
             F.col(id_col),
             ((F.col("__total") - F.col("__distinct")) / F.col("__total")).alias(
                 f"dup_{label}_frac"
             ),
             (F.col("__top") / F.col("__total")).alias(f"top_{label}_frac"),
         )
-        out = out.join(stats, id_col, "left")
-    return out
+
+    stats = _stats("__g2", "bigram").join(_stats("__g3", "trigram"), id_col, "full")
+    return df.join(stats, id_col, "left")
