@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     IsNotNull,
+    SimpleDataSourceStreamReader,
 )
 
 _VOCAB = (
@@ -141,6 +142,43 @@ class DocGenReader(DataSourceReader):
             yield _doc(self.seed, doc_id, self.min_words, self.max_words)
 
 
+class DocGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched stream of the same deterministic corpus: each
+    trigger emits the next ``rows_per_batch`` documents (offset = next
+    doc_id to generate). Replayable by construction — Structured
+    Streaming's offset log + a pure (seed, doc_id) → row function gives
+    exactly-once regeneration of any batch range, the same contract a
+    Kafka offset range provides.
+
+    `SimpleDataSourceStreamReader` runs reads on the driver and is
+    meant for modest per-batch volumes (its prefetch/cache path); the
+    point here is correctness-testable streaming semantics over a
+    deterministic source, not bulk throughput (use the batch reader
+    for that)."""
+
+    def __init__(self, options) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+        self.min_words = int(options.get("min_words", 10))
+        self.max_words = int(options.get("max_words", 99))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.rows_per_batch, self.n_docs)
+        end = {"next": hi}
+        # a materialized list, not a generator: the runner's prefetch
+        # cache copy.copy()s the returned iterator between triggers
+        return list(self.readBetweenOffsets(start, end)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for doc_id in range(int(start["next"]), int(end["next"])):
+            yield _doc(self.seed, doc_id, self.min_words, self.max_words)
+
+
 class DocGenDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -153,3 +191,6 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema) -> DocGenReader:
         return DocGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> DocGenStreamReader:
+        return DocGenStreamReader(self.options)
