@@ -10,6 +10,7 @@ exact count.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.quality.profile import dq_profile, dq_union
@@ -73,3 +74,50 @@ def dq_profile_union_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return dq_union(profiles)
+
+
+@register(
+    "incremental_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS distinct_custkeys,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    operators=("A8", "A4", "EXT-sketch"),
+)
+def incremental_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch incremental distinct (operators/sketches.py):
+    one HLL sketch per order priority, merged and estimated WITHOUT
+    rescanning the fact — the pattern that answers cross-partition
+    distinct questions at 100 TB from a KB-sized side table. The query
+    emits the exact distinct (oracled) alongside the sketch's accuracy
+    band: the oracle pins within_5pct = TRUE, so a sketch regression
+    (estimate drifting > 5% from truth) fails the correctness gate,
+    while the hash compare never sees the engine-specific estimate
+    itself (Spark DataSketches vs DuckDB HLL differ)."""
+    from aws_imdb_data_pipeline_spark.operators.sketches import (
+        merge_sketches,
+        partition_sketches,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = merge_sketches(
+        partition_sketches(orders, ["o_orderpriority"], "o_custkey"),
+        ["o_orderpriority"],
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("distinct_custkeys")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_rows",
+        "distinct_custkeys",
+        (
+            F.abs(F.col("distinct_estimate") - F.col("distinct_custkeys"))
+            / F.col("distinct_custkeys")
+            <= 0.05
+        ).alias("within_5pct"),
+    )

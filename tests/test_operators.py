@@ -208,3 +208,38 @@ def test_interval_join_boundaries(spark):
         ).collect()
     }
     assert out == {200, 202}
+
+
+def test_hll_partition_sketches_merge_to_global_estimate(spark, sf_dir):
+    """Per-partition HLL sketches merged later must estimate the global
+    distinct count within HLL error, and slicing must compose: the
+    union of per-priority sketches equals a directly-built global
+    sketch's estimate."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators.sketches import (
+        merge_sketches,
+        partition_sketches,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_prio = partition_sketches(orders, ["o_orderpriority"], "o_custkey")
+    assert per_prio.columns == ["o_orderpriority", "hll_sketch", "n_rows"]
+    # merging the per-partition sketches ~= true global distinct
+    est = merge_sketches(per_prio).first()
+    truth = orders.agg(F.count_distinct("o_custkey")).first()[0]
+    assert est["n_rows"] == orders.count()
+    assert abs(est["distinct_estimate"] - truth) / truth < 0.05
+    # per-group estimates also hold per slice
+    per = {
+        r["o_orderpriority"]: r["distinct_estimate"]
+        for r in merge_sketches(per_prio, ["o_orderpriority"]).collect()
+    }
+    for prio, e in per.items():
+        t = (
+            orders.filter(F.col("o_orderpriority") == prio)
+            .agg(F.count_distinct("o_custkey"))
+            .first()[0]
+        )
+        assert abs(e - t) / t < 0.05
