@@ -508,6 +508,43 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured VARIANT type (Spark 4) on the same JSON column
+# ---------------------------------------------------------------------------
+@register(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(*) AS n_missing_j
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("F18", "P7", "A1"),
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT path for semi-structured columns:
+    ``try_parse_json`` builds a binary variant once, then typed
+    ``try_variant_get`` extractions replace per-path string re-parsing
+    — at 100 TB the JSON text is parsed ONCE per row however many
+    fields downstream expressions pull. The probe for a path that
+    never exists ($.j) shows the try-semantics: NULL, not error, and
+    the oracle pins that every row misses it."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    ev = ev.select("event_type", v.alias("__v"))
+    k = F.try_variant_get(F.col("__v"), "$.k", "int")
+    j = F.try_variant_get(F.col("__v"), "$.j", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(j.isNull().cast("long")).alias("n_missing_j"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decade math (F13) on order dates
 # ---------------------------------------------------------------------------
 @register(
