@@ -527,3 +527,116 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the general form rollup/cube specialize.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    operators=("A13", "A1"),
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-status totals, per-priority totals,
+    and the grand total in ONE pass (Expand + single hash aggregate),
+    where the naive formulation unions three scans. Spark's SQL
+    GROUPING SETS and the DataFrame groupingSets() both plan the same
+    Expand; the SQL text form is used so the catalog surface matches
+    the reference's dialect layer."""
+    from aws_imdb_data_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# mode() — most frequent value per group (Spark 4 / DuckDB both native).
+# ---------------------------------------------------------------------------
+@register(
+    "segment_modal_priority",
+    oracle="""
+    SELECT c_mktsegment,
+           mode(o_orderpriority ORDER BY o_orderpriority) AS modal_priority,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    operators=("A1", "A-mode", "J1"),
+)
+def segment_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per customer segment via the
+    native mode() aggregate (deterministic=true -> lowest value wins
+    ties on both engines). Customer attaches by broadcast; one fact
+    shuffle on the segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.mode("o_orderpriority", True).alias("modal_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT — wide-to-long, the inverse of orders_status_pivot.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_charge_unpivot",
+    oracle="""
+    SELECT l_returnflag, component, ROUND(SUM(amount), 4) AS total
+    FROM (
+        SELECT l_returnflag, 'base' AS component,
+               l_extendedprice AS amount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount',
+               -(l_extendedprice * l_discount) FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax',
+               l_extendedprice * (1.0 - l_discount) * l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, component
+    """,
+    operators=("U-unpivot", "A1"),
+)
+def lineitem_charge_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charge decomposition: derive base/discount/tax amount columns,
+    unpivot() them wide-to-long (one Expand, no self-union triple
+    scan — the oracle spells out the UNION ALL it replaces), then
+    aggregate per (returnflag, component)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("base"),
+        (-(F.col("l_extendedprice") * F.col("l_discount"))).alias("discount"),
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * F.col("l_tax")
+        ).alias("tax"),
+    )
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["base", "discount", "tax"],
+        variableColumnName="component",
+        valueColumnName="amount",
+    )
+    return long.groupBy("l_returnflag", "component").agg(
+        F.round(F.sum("amount"), 4).alias("total")
+    )
