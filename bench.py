@@ -95,7 +95,10 @@ def main() -> None:
     # Full per-query map + regression check go to a side file; the single
     # stdout line stays compact (headline queries only) so a line-tail
     # capture of bounded size always contains "metric" and "value".
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     prior: dict[str, float] = {}
     if os.path.exists(detail_path):
         try:
