@@ -169,3 +169,41 @@ def test_wav_roundtrip_property(n, rate, seed):
     arr, got_rate = decode_wav_pcm16(blob)
     assert got_rate == rate and arr.shape == (n, 1)
     assert (arr[:, 0] == s).all()
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+@SLOW
+def test_exploded_ngrams_equals_array_form(spark, docs, n):
+    """The codegen-only exploded_ngrams (posexplode + lead window) must
+    emit exactly the rows of exploding the HOF-built _ngrams array —
+    the equivalence the 83x repetition_signals rewrite rests on."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        _ngrams,
+        _words,
+        exploded_ngrams,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = [
+        (r.doc_id, r.gram)
+        for r in exploded_ngrams(df, n).collect()
+    ]
+    slow = [
+        (r.doc_id, r.gram)
+        for r in df.select(
+            "doc_id", F.explode(_ngrams(_words("text"), n)).alias("gram")
+        ).collect()
+    ]
+    assert sorted(fast) == sorted(slow)
