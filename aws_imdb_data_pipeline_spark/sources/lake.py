@@ -73,6 +73,27 @@ def replace_run_partition(
     )
 
 
+def read_lake(
+    spark: SparkSession, path: str, merge_schema: bool = True
+) -> DataFrame:
+    """Read the partitioned lake tolerating per-run schema EVOLUTION:
+    columns added in later runs union into one schema (``mergeSchema``
+    combines parquet footers at planning time — a metadata pass, not a
+    data scan), and rows written before a column existed surface as
+    NULL in it. Pair with ``replace_run_partition``: run N+1 can start
+    writing a new metric without rewriting history, and every
+    latest-run consumer sees the full evolved schema.
+
+    Partition pruning and filter pushdown are unaffected (the merged
+    schema only widens the projection). Column REMOVAL or retyping is
+    deliberately NOT masked — Spark fails loudly on an incompatible
+    merge, which is the correct lakehouse contract: additive evolution
+    is routine, destructive evolution needs a migration."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

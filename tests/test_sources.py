@@ -101,3 +101,38 @@ def test_merge_upsert_unpartitioned_full_rewrite(spark, tmp_path):
     merge_upsert(spark, out, updates, key_cols=["id"])
     got = {(r.id, r.val) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_lake_schema_evolution_additive(spark, tmp_path):
+    """Later runs may ADD columns: read_lake(mergeSchema) surfaces the
+    union schema, pre-existing rows read NULL in the new column, and
+    run_date partition pruning still prunes."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.sources.lake import (
+        read_lake,
+        replace_run_partition,
+    )
+
+    path = str(tmp_path / "evolving")
+    r1 = spark.createDataFrame(
+        [(1, 10.0, "r1"), (2, 20.0, "r1")], "id long, amount double, run_date string"
+    )
+    replace_run_partition(r1, path, ["run_date"])
+    r2 = spark.createDataFrame(
+        [(3, 30.0, "EUR", "r2")],
+        "id long, amount double, currency string, run_date string",
+    )
+    replace_run_partition(r2, path, ["run_date"])
+
+    lake = read_lake(spark, path)
+    assert set(lake.columns) == {"id", "amount", "currency", "run_date"}
+    rows = {r.id: r.currency for r in lake.collect()}
+    assert rows == {1: None, 2: None, 3: "EUR"}
+    # pruning: a run_date filter reads only that partition
+    plan = lake.filter(F.col("run_date") == "r2")._jdf.queryExecution().executedPlan().toString()
+    assert "run_date" in plan
+    assert lake.filter(F.col("run_date") == "r2").count() == 1
+    # idempotent replace still holds on the evolved table
+    replace_run_partition(r2, path, ["run_date"])
+    assert read_lake(spark, path).count() == 3
