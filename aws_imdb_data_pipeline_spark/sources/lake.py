@@ -32,6 +32,7 @@ def write_partitioned(
     mode: str = "append",
     compact: bool = True,
     cluster_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
 ) -> None:
     """Hive-partitioned parquet write, optionally compacted to ~1 file
     per partition (reference: glue.py:195-202).
@@ -39,11 +40,24 @@ def write_partitioned(
     ``cluster_by`` sorts rows within each output file — the Spark-side
     equivalent of the reference's warehouse CLUSTER BY
     (batch.py:194-196): parquet row-group min/max stats on the sorted
-    columns let later scans skip row groups (zone-map pruning)."""
+    columns let later scans skip row groups (zone-map pruning).
+
+    ``bloom_filter_cols`` writes a parquet bloom filter per listed
+    column — the point-lookup complement to zone maps: min/max stats
+    prune ranges on SORTED columns, blooms prune row groups on
+    equality predicates over UNSORTED high-cardinality keys (user_id,
+    orderkey), where every row group's min/max spans the whole domain.
+    Costs ~1 MB/row-group/column at write; pays off on any selective
+    key lookup at read (the reader consults the bloom before touching
+    the pages). parquet-mr skips the bloom for fully
+    dictionary-encoded chunks (the dictionary is already an exact
+    filter), so only genuinely high-cardinality chunks pay the bytes."""
     out = df.repartition(*partition_cols) if compact and partition_cols else df
     if cluster_by:
         out = out.sortWithinPartitions(*cluster_by)
     writer = out.write.mode(mode)
+    for col in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
