@@ -250,6 +250,7 @@ def contamination_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Per corpus document: how many of its distinct k-gram shingles
     also appear ANYWHERE in the benchmark set, plus the contamination
@@ -258,17 +259,26 @@ def contamination_overlap(
     Shape: explode corpus shingles (distinct per doc), semi-style
     inner-join against the DISTINCT benchmark shingle set, count per
     doc, then join counts back to per-doc shingle totals. The benchmark
-    side is usually tiny (eval sets) → broadcast; the corpus side
-    shuffles once on the shingle string. At 100 TB, hash shingles to
-    64-bit before the join to keep exchange rows narrow."""
+    side is usually tiny (eval sets) → broadcast.
+
+    ``hash_shingles`` (default) joins on ``xxhash64(shingle)`` instead
+    of the string — the corpus side's one exchange carries 8-byte keys
+    instead of arbitrarily long text. A false count needs an xxhash64
+    collision between a corpus shingle and a DIFFERENT benchmark
+    shingle (p ≈ |bench| · 2^-64 per shingle — negligible at any
+    corpus size; the SQL oracle joins raw strings and still matches)."""
     from aws_imdb_data_pipeline_spark.extensions.dedup import shingle_docs
 
-    c_sh = shingle_docs(corpus, id_col, text_col, k=k).select(
-        F.col(id_col), F.explode("__shingles").alias("__g")
+    key = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+    c_sh = (
+        shingle_docs(corpus, id_col, text_col, k=k)
+        .select(F.col(id_col), F.explode("__shingles").alias("__s"))
+        .select(F.col(id_col), key(F.col("__s")).alias("__g"))
     )
     b_sh = (
         shingle_docs(benchmark, id_col, text_col, k=k)
-        .select(F.explode("__shingles").alias("__g"))
+        .select(F.explode("__shingles").alias("__s"))
+        .select(key(F.col("__s")).alias("__g"))
         .distinct()
     )
     totals = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
