@@ -168,3 +168,24 @@ def test_bloom_filter_write_option(spark, tmp_path):
     # identical content; the equality lookup goes through the bloom
     got = spark.read.parquet(bloomed).filter(F.col("user_key") == 123_456).count()
     assert got == 1 and spark.read.parquet(bloomed).count() == 200_000
+
+
+def test_lake_schema_evolution_destructive_fails_loudly(spark, tmp_path):
+    """Retyping a column across runs must FAIL the merged read (the
+    additive-only contract), not silently coerce."""
+    import pytest
+
+    from aws_imdb_data_pipeline_spark.sources.lake import (
+        read_lake,
+        replace_run_partition,
+    )
+
+    path = str(tmp_path / "retyped")
+    r1 = spark.createDataFrame([(1, 10, "r1")], "id long, amount long, run_date string")
+    r2 = spark.createDataFrame(
+        [(2, "ten", "r2")], "id long, amount string, run_date string"
+    )
+    replace_run_partition(r1, path, ["run_date"])
+    replace_run_partition(r2, path, ["run_date"])
+    with pytest.raises(Exception, match="(?i)merge|incompatible|failed"):
+        read_lake(spark, path).collect()
