@@ -31,10 +31,18 @@ from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
 
-def _order_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _order_episodes(
+    spark: SparkSession, sf_dir: str, persist_for_fanout: bool = False
+) -> DataFrame:
     """Orders as an episode grain: (series_key, season, episode_number)
     with the first season precomputed — one narrow projection, one
-    window per (customer, year) partition."""
+    window per (customer, year) partition.
+
+    ``persist_for_fanout`` caches the episode frame when the caller
+    consumes it in MULTIPLE union branches (the 4-tier pilot fallback
+    re-derives the scan+window tree per tier otherwise — the same
+    fan-out rule as pipelines.imdb's cache() placement; left to LRU
+    eviction after the query's job)."""
     orders = load_table(spark, sf_dir, "orders")
     eps = orders.select(
         F.col("o_custkey").alias("series_key"),
@@ -48,9 +56,10 @@ def _order_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "o_orderkey"
     )
     w_first = Window.partitionBy("series_key")
-    return eps.withColumn("episode_number", F.row_number().over(w_ep)).withColumn(
+    out = eps.withColumn("episode_number", F.row_number().over(w_ep)).withColumn(
         "first_season", F.min("season").over(w_first)
     )
+    return out.persist() if persist_for_fanout else out
 
 
 _EPS_CTE = """
@@ -148,7 +157,7 @@ def series_pilot_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-season-first-episode → any episode → 0. One union + one
     window shuffle (preferential_pick), keys joined back for the
     COALESCE-to-zero tail."""
-    eps = _order_episodes(spark, sf_dir)
+    eps = _order_episodes(spark, sf_dir, persist_for_fanout=True)
     first = eps.filter(F.col("season") == F.col("first_season"))
     rated_first = first.filter(F.col("o_orderstatus") == "F")
     tiers = [
