@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_imdb_data_pipeline_spark.extensions.textstats import _words
+
 # ---------------------------------------------------------------------------
 # Deterministic dataset splits
 # ---------------------------------------------------------------------------
@@ -214,6 +216,12 @@ def chunk_documents(
     chunk. Output grain is (doc, chunk): ``chunk_id`` (0-based),
     ``chunk_text``, ``n_chunk_words``.
 
+    Tokenization is the shared ``_words`` regex (split on ``\\s+``) so
+    chunk word counts agree with token_stats / exploded_ngrams — a
+    document with runs of whitespace or newlines chunks on the same
+    word boundaries every other corpus operator sees. Word counts come
+    from the slice length itself, not a re-split of the joined text.
+
     Entirely JVM-side higher-order functions (``sequence`` →
     ``transform`` → ``slice`` → ``posexplode``) — no Python UDF, so the
     explode pipelines inside whole-stage codegen. Zero shuffle: chunking
@@ -222,20 +230,28 @@ def chunk_documents(
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     stride = chunk_size - overlap
-    words = F.split(F.col(text_col), " ")
+    words = _words(text_col)
     n_chunks = F.greatest(
         F.lit(1),
         (F.ceil((F.size(words) - F.lit(chunk_size)) / F.lit(stride)) + 1).cast("int"),
     )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(words, i * stride + 1, chunk_size), " "),
+        lambda i: F.struct(
+            F.array_join(F.slice(words, i * stride + 1, chunk_size), " ").alias(
+                "text"
+            ),
+            F.size(F.slice(words, i * stride + 1, chunk_size)).alias("n"),
+        ),
     )
     exploded = df.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk")
     )
-    return exploded.withColumn(
-        "n_chunk_words", F.size(F.split(F.col("chunk_text"), " "))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("__chunk.text").alias("chunk_text"),
+        F.col("__chunk.n").alias("n_chunk_words"),
     )
 
 

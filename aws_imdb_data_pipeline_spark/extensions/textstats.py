@@ -270,47 +270,63 @@ def repetition_signals(
     the same exchange any n-gram counting job pays.
 
     Docs shorter than the gram size get NULL fractions (no gram rows →
-    left-join nulls), matching the SQL ``CASE WHEN len > 0`` guard.
+    pivot/join nulls), matching the SQL ``CASE WHEN len > 0`` guard.
+
+    Contract: ``id_col`` must uniquely identify rows. Both the position
+    window and the stats join key on it, so duplicate ids would
+    interleave word positions across rows and multiply the join — the
+    same contract every per-document corpus operator here carries.
 
     Cost shape (measured at 10^6 docs): ONE posexplode + position
-    window builds bigrams and trigrams together and is persisted, so
-    the two per-doc aggregates don't re-tokenize; the two stat frames
-    are narrow (id + 2 doubles) and join to the input once — the wide
-    ``text`` column crosses exactly one exchange. (The gram cache is
-    left to LRU eviction — both consumers run within the one job the
-    caller triggers, so pinning it past that would only displace
-    other cached data.)
+    window builds bigrams and trigrams together; ``stack`` turns the
+    two gram columns into (id, kind, gram) long form so a single
+    aggregation chain (count per gram → stats per kind → pivot on
+    kind) serves both signals. Single lineage — no persist to leak, no
+    re-tokenization — and the wide ``text`` column crosses no exchange
+    at all (stats are narrow; the input joins back once at the end).
     """
     words = _words(text_col)
     tok = df.select(F.col(id_col), F.posexplode(words).alias("__pos", "__w"))
     win = Window.partitionBy(id_col).orderBy("__pos")
     l1, l2 = F.lead("__w", 1).over(win), F.lead("__w", 2).over(win)
-    grams = tok.select(
+    grams_long = tok.select(
         F.col(id_col),
         F.when(l1.isNotNull(), F.concat_ws(" ", "__w", l1)).alias("__g2"),
         F.when(l2.isNotNull(), F.concat_ws(" ", "__w", l1, l2)).alias("__g3"),
-    ).persist()
-
-    def _stats(gram_col: str, label: str) -> DataFrame:
-        per_doc = (
-            grams.filter(F.col(gram_col).isNotNull())
-            .groupBy(id_col, gram_col)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .groupBy(id_col)
-            .agg(
-                F.sum("__c").alias("__total"),
-                F.count(F.lit(1)).alias("__distinct"),
-                F.max("__c").alias("__top"),
-            )
+    ).select(
+        F.col(id_col),
+        F.expr("stack(2, 'bigram', __g2, 'trigram', __g3)").alias("__kind", "__g"),
+    )
+    per_kind = (
+        grams_long.filter(F.col("__g").isNotNull())
+        .groupBy(id_col, "__kind", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col, "__kind")
+        .agg(
+            F.sum("__c").alias("__total"),
+            F.count(F.lit(1)).alias("__distinct"),
+            F.max("__c").alias("__top"),
         )
         # raw quotients (identical int operands across engines)
-        return per_doc.select(
+        .select(
             F.col(id_col),
+            F.col("__kind"),
             ((F.col("__total") - F.col("__distinct")) / F.col("__total")).alias(
-                f"dup_{label}_frac"
+                "__dup"
             ),
-            (F.col("__top") / F.col("__total")).alias(f"top_{label}_frac"),
+            (F.col("__top") / F.col("__total")).alias("__topf"),
         )
-
-    stats = _stats("__g2", "bigram").join(_stats("__g3", "trigram"), id_col, "full")
+    )
+    stats = (
+        per_kind.groupBy(id_col)
+        .pivot("__kind", ["bigram", "trigram"])
+        .agg(F.first("__dup").alias("dup"), F.first("__topf").alias("topf"))
+        .select(
+            F.col(id_col),
+            F.col("bigram_dup").alias("dup_bigram_frac"),
+            F.col("bigram_topf").alias("top_bigram_frac"),
+            F.col("trigram_dup").alias("dup_trigram_frac"),
+            F.col("trigram_topf").alias("top_trigram_frac"),
+        )
+    )
     return df.join(stats, id_col, "left")

@@ -29,78 +29,66 @@ from aws_imdb_data_pipeline_spark.plans import extensions2  # noqa: E402,F401
 
 # Registration order doubles as the external snapshot order: tools that
 # sample a bounded prefix of ``queries()`` see the entries below first.
-# Front-load the oracled queries that have not yet had an external
-# verification row (rounds 1-2 snapshots covered registration slots 0-49
-# only), then the rest of the oracled queries, then no-oracle queries —
-# so a 50-entry prefix contains oracled entries exclusively.
-_FRONT = [
-    "embedding_near_dup",
-    "ann_cosine_topk",
-    "ngram_jaccard_pairs",
-    "multimodal_doc_features",
-    "multimodal_wav_roundtrip",
-    "repetition_signals",
-    "c4_style_filters",
-    "dedup_keep_list",
-    "corpus_top_ngrams",
-    "source_quality_profile",
-    "text_bpe_token_counts",
-    "fuzzy_part_name_pairs",
-    "dedup_components",
-    "events_hourly_counts",
-    "events_sliding_stats",
-    "events_user_sessions",
-    "dim_series_labels",
-    "series_pilot_measure",
-    "series_best_season_measure",
-    "series_finale_delta_measure",
-    "user_funnel",
-    "daily_retention",
-    "asof_view_before_purchase",
-    "click_purchase_interval_pairs",
-    "session_conversion",
-    "corpus_split_counts",
-    "corpus_pack_bins",
-    "corpus_contamination",
-    "corpus_redaction_stats",
-    "corpus_mixture_sample",
-    "corpus_prefix_sum_check",
-    "price_percentiles_approx",
-    # Oracled queries added after the round-3 reorder — also never
-    # externally verified; keeping them in the 50-entry prefix means
-    # every round-3 addition gets a verification row this round while
-    # the rounds-1/2-green core queries (all 45 already have external
-    # rows) fill the remainder.
-    "late_shipment_priority",
-    "nation_trade_by_year",
-    "market_share",
-    "profit_by_nation_year",
-    "top_supplier",
-    "large_volume_customers",
-    "banded_brand_revenue",
-    "dormant_rich_customers",
-    "scd2_user_event_type",
-    "corpus_stratified_sample",
-    "doc_top_terms",
-    "bpe_merge_pairs",
-    "zorder_locality_profile",
-    "discount_revenue_delta",
-    "blocking_suppliers",
-    "corpus_doc_chunks",
-]
+# The prefix is COMPUTED from the in-repo CORRECTNESS_r*.json history so
+# it can never go stale (a hand-maintained list did, twice): oracled
+# queries with no green verification row come first, then oracled
+# queries oldest-verified-first (rotation: nothing goes unverified for
+# rounds on end), then no-oracle queries — so any bounded prefix holds
+# the oracled entries most in need of external verification.
+
+
+def _green_history() -> dict[str, int]:
+    """Map query name -> latest round with a green verification row.
+
+    Reads CORRECTNESS_r*.json from the repo root (two levels above this
+    package). Missing/unparseable files are skipped: with no history at
+    all, every oracled query counts as never-verified, which degrades to
+    plain oracled-first ordering.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    last_green: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                # hash_match is None for rows-only checks; only an
+                # explicit False (value mismatch) blocks "green".
+                and row.get("hash_match") is not False
+            )
+            if green:
+                last_green[name] = max(rnd, last_green.get(name, 0))
+    return last_green
 
 
 def _reorder() -> None:
-    missing = [n for n in _FRONT if n not in REGISTRY]
-    if missing:
-        raise RuntimeError(f"_FRONT references unregistered queries: {missing}")
-    ordered = {n: REGISTRY[n] for n in _FRONT}
-    for n, s in REGISTRY.items():
-        if n not in ordered and s.oracle is not None:
-            ordered[n] = s
-    for n, s in REGISTRY.items():
-        if n not in ordered:
-            ordered[n] = s
+    last_green = _green_history()
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    # Sort key: non-oracled last; among oracled, never-green (round 0)
+    # first, then ascending last-green round; registration order ties.
+    def key(item):
+        n, s = item
+        if s.oracle is None:
+            return (1, 0, reg_pos[n])
+        return (0, last_green.get(n, 0), reg_pos[n])
+
+    ordered = dict(sorted(REGISTRY.items(), key=key))
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -230,7 +230,8 @@ def corpus_prefix_sum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_doc_chunks",
     oracle="""
     WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+        FROM documents
     ),
     c AS (
         SELECT doc_id, words,

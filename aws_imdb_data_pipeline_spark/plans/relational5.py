@@ -570,19 +570,32 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "segment_modal_priority",
     oracle="""
-    SELECT c_mktsegment,
-           mode(o_orderpriority ORDER BY o_orderpriority) AS modal_priority,
-           COUNT(*) AS n_orders
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_mktsegment
+    WITH counts AS (
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ), ranked AS (
+        SELECT c_mktsegment, o_orderpriority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY n DESC, o_orderpriority ASC
+               ) AS rk,
+               CAST(SUM(n) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+                   AS n_orders
+        FROM counts
+    )
+    SELECT c_mktsegment, o_orderpriority AS modal_priority, n_orders
+    FROM ranked WHERE rk = 1
     """,
     operators=("A1", "A-mode", "J1"),
 )
 def segment_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most frequent order priority per customer segment via the
     native mode() aggregate (deterministic=true -> lowest value wins
-    ties on both engines). Customer attaches by broadcast; one fact
-    shuffle on the segment."""
+    ties). The oracle spells the same tie-break out as an explicit
+    arg-min (ROW_NUMBER over COUNT DESC, value ASC) rather than relying
+    on DuckDB mode()'s undocumented tie behavior. Customer attaches by
+    broadcast; one fact shuffle on the segment."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (

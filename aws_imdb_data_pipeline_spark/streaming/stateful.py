@@ -120,9 +120,14 @@ def user_event_type_counts(
     draining the stream.
 
     ``ttl_ms`` bounds state lifetime per sub-key (RocksDB-evictable at
-    scale); None keeps counts forever. State is sharded by user across
-    executors exactly like the aggregate's shuffle would be, so the
-    operator scales with the key space, not the stream length.
+    scale); None keeps counts forever. Spark forbids TTL-configured
+    state outside ProcessingTime time mode
+    (STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_NO_TIME_MODE), so passing
+    ttl_ms switches the operator to ``timeMode="ProcessingTime"``;
+    without it we keep ``"None"`` so batch-equivalence is exact. State
+    is sharded by user across executors exactly like the aggregate's
+    shuffle would be, so the operator scales with the key space, not
+    the stream length.
 
     Runtime dependency: the transformWithState state-server protocol
     needs ``protobuf`` in the Python environment (this container lacks
@@ -174,5 +179,5 @@ def user_event_type_counts(
         statefulProcessor=_EventTypeCounts(),
         outputStructType=EVENT_TYPE_COUNTS_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

@@ -122,3 +122,19 @@ def test_chunk_documents_coverage_and_overlap(spark):
     for i in d1:
         covered.update(range(i * 24, min(i * 24 + 32, 75)))
     assert covered == set(range(75))
+
+
+def test_chunk_documents_whitespace_runs_match_token_stats(spark):
+    """chunk_documents tokenizes with the shared \\s+ regex: runs of
+    spaces/newlines don't mint empty-string 'words', so the summed
+    chunk word count of a 1-chunk doc equals token_stats' n_tokens for
+    the same text (the cross-operator consistency ADVICE flagged)."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import chunk_documents
+    from aws_imdb_data_pipeline_spark.extensions.textstats import token_stats
+
+    text = "alpha  beta\tgamma\n\ndelta epsilon   zeta"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [chunk] = chunk_documents(docs, chunk_size=32, overlap=8).collect()
+    [stats] = token_stats(docs).collect()
+    assert chunk.n_chunk_words == stats.n_tokens == 6
+    assert chunk.chunk_text == "alpha beta gamma delta epsilon zeta"

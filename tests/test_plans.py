@@ -152,8 +152,7 @@ def test_q21_single_fact_scan(spark, sf_dir):
 
 def test_snapshot_window_is_all_oracled():
     """The external correctness gate samples the first 50 registry
-    entries; every one of those slots must carry a SQL oracle (adding a
-    new oracled query keeps it AFTER the curated prefix, and rows-only
+    entries; every one of those slots must carry a SQL oracle (rows-only
     queries must never drift into the window)."""
     from aws_imdb_data_pipeline_spark.plans import REGISTRY
 
@@ -161,3 +160,34 @@ def test_snapshot_window_is_all_oracled():
     assert len(names) >= 50
     missing = [n for n in names[:50] if REGISTRY[n].oracle is None]
     assert missing == [], f"rows-only queries inside the 50-entry window: {missing}"
+
+
+def test_snapshot_order_is_freshness_computed():
+    """The registry order is derived from CORRECTNESS_r*.json history:
+    never-externally-verified oracled queries lead, then oracled queries
+    oldest-green-first, then rows-only queries. This is the invariant a
+    hand-maintained list let go stale twice — assert it directly so any
+    regression (e.g. a new query registered but somehow sorted behind
+    already-verified ones) fails at commit time."""
+    from aws_imdb_data_pipeline_spark.plans import REGISTRY, _green_history
+
+    last_green = _green_history()
+    names = list(REGISTRY)
+    oracled = [n for n in names if REGISTRY[n].oracle is not None]
+    rows_only = [n for n in names if REGISTRY[n].oracle is None]
+
+    # All oracled entries precede all rows-only entries.
+    assert names[: len(oracled)] == oracled
+
+    # Oracled entries are non-decreasing in last-green round, with
+    # never-green queries (round 0) first.
+    rounds = [last_green.get(n, 0) for n in oracled]
+    assert rounds == sorted(rounds), (
+        "oracled queries not ordered oldest-verification-first: "
+        f"{list(zip(oracled, rounds))}"
+    )
+
+    # Every never-green oracled query sits inside the 50-entry window.
+    never = [n for n in oracled if n not in last_green]
+    outside = [n for n in never if names.index(n) >= 50]
+    assert outside == [], f"never-verified oracled queries outside window: {outside}"

@@ -344,3 +344,50 @@ def test_tws_event_type_counts_matches_batch(spark, sf_dir, tmp_path):
     got = {(r.user_id, r.event_type): r.n_events for r in final.collect()}
     want = {(r.user_id, r.event_type): r.n_events for r in expected.collect()}
     assert got == want
+
+
+def test_tws_ttl_uses_processing_time_mode(spark, sf_dir, tmp_path):
+    """ttl_ms is only legal under timeMode=ProcessingTime
+    (STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_NO_TIME_MODE), so the
+    operator must flip the mode when a TTL is requested. With a TTL far
+    longer than the drain, counts still match batch. Skips without
+    protobuf like the main tWS test."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.streaming.stateful import (
+        user_event_type_counts,
+    )
+
+    batch_events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("user_id") < 20)
+    )
+    src = str(tmp_path / "tws_ttl_stream")
+    batch_events.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_events_from_dir(spark, src, schema, max_files_per_trigger=1)
+    q = (
+        user_event_type_counts(stream, ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("t_tws_ttl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = (
+        spark.table("t_tws_ttl")
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = batch_events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    got = {(r.user_id, r.event_type): r.n_events for r in final.collect()}
+    want = {(r.user_id, r.event_type): r.n_events for r in expected.collect()}
+    assert got == want
