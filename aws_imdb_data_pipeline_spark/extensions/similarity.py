@@ -312,6 +312,52 @@ def cosine_topk_lsh(
     )
 
 
+def augment_with_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    every: int = 10,
+    eps: float = 0.2,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Union the corpus with deterministic near-duplicate copies of
+    every ``every``-th row: id → id + ``id_offset``, vector perturbed by
+    ``eps`` times a pseudo-noise sequence computed with pure integer
+    arithmetic — ``((id*73 + i*179) % 97)/97 - 0.5`` per component —
+    so ANY engine reproduces the same doubles bit-for-bit (no RNG, no
+    transcendentals). On unit-normalized vectors eps=0.2 lands the
+    planted pairs at cosine ≈ 0.89–0.93: comfortably above the 0.8
+    near-dup threshold while everything non-planted stays far below.
+
+    This is the test-lake stand-in for what a real crawl corpus already
+    contains (true near-duplicates); it gives the high-threshold LSH
+    scale path (`embedding_near_dup_pairs_lsh` at threshold 0.8+)
+    ground-truth positives to find, in a form a SQL oracle can rebuild
+    exactly. Output vectors are double arrays on both branches.
+    """
+    base = df.select(F.col(id_col), _to_double(vec_col).alias(vec_col))
+    vid = F.col(id_col)
+    # Two stages, not one select: the noise must see the ORIGINAL id,
+    # and aliasing the offset id in the same projection lets Spark 4's
+    # lateral-alias resolution bind the lambda's outer reference to the
+    # already-offset value.
+    dup = (
+        df.filter(vid % every == 0)
+        .withColumn(
+            vec_col,
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: x.cast("double")
+                + F.lit(eps)
+                * (((vid * 73 + i * 179) % 97).cast("double") / 97.0 - 0.5),
+            ),
+        )
+        .withColumn(id_col, vid + id_offset)
+        .select(id_col, vec_col)
+    )
+    return base.unionByName(dup)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

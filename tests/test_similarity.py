@@ -188,6 +188,50 @@ def test_embedding_near_dup_lsh_recall_precision_and_subquadratic(spark, sf_dir)
     assert n_cand <= 0.45 * n * (n - 1) / 2
 
 
+def test_embedding_near_dup_scale_exact_and_subquadratic(spark, sf_dir):
+    """The canonical scale query (threshold 0.8 over the augmented
+    corpus) must reproduce brute force EXACTLY — precision and recall
+    both 1 (every planted pair at cosine ≈ 0.89+ collides in >= 1 band
+    with the production seed; background tops out at 0.60) — and its
+    candidate set must be a small, shrinking fraction of brute: the
+    asymptotic behavior the 0.4-threshold stress query can't show."""
+    from aws_imdb_data_pipeline_spark.extensions import (
+        auto_lsh_params,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+        lsh_candidate_pairs_embedding,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        augment_with_near_dups,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    aug = augment_with_near_dups(emb, "vec_id", "embedding")
+    n = aug.count()
+    truth = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            aug, "vec_id", "embedding", threshold=0.8
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_lsh(
+            aug, "vec_id", "embedding", dim=64, threshold=0.8
+        ).collect()
+    }
+    assert approx == truth  # exact: no misses, no inventions
+    assert len(truth) == emb.count() // 10  # one pair per planted dup
+    # sub-quadratic: candidates under 10% of brute at this threshold
+    # (measured 4.0% at N=550, 1.8% at N=2200 — ratio falls with N)
+    planes, bands = auto_lsh_params(n, 0.8)
+    n_cand = lsh_candidate_pairs_embedding(
+        aug, "vec_id", "embedding", 64, planes, bands
+    ).count()
+    assert n_cand <= 0.10 * n * (n - 1) / 2
+
+
 def test_cosine_topk_ivf_recall_and_scores(spark, sf_dir):
     from aws_imdb_data_pipeline_spark.extensions import cosine_topk, cosine_topk_ivf
     from aws_imdb_data_pipeline_spark.sources.tables import load_table
