@@ -42,12 +42,57 @@ def plan_of(spark, sf_dir, name: str) -> str:
         ("parts_with_orders_semi", ["LeftSemi"]),
         # rollup/cube expand, then aggregate once
         ("sales_rollup", ["Expand", "HashAggregate"]),
+        # partsupp shapes: dimensions broadcast, never sort-merge
+        ("min_cost_supplier", ["BroadcastHashJoin"]),
+        ("parts_supplier_counts", ["BroadcastHashJoin LeftAnti"]),
+        ("promotable_suppliers", ["LeftSemi"]),
     ],
 )
 def test_plan_contains(spark, sf_dir, query, required):
     plan = plan_of(spark, sf_dir, query)
     for fragment in required:
         assert fragment in plan, f"{query}: expected {fragment} in plan\n{plan[:2000]}"
+
+
+def test_synth_partsupp_shape_and_no_sortmerge(spark, sf_dir):
+    """The synthesized partsupp: exactly 4 rows per part with distinct
+    supplier keys (guaranteed while n_suppliers > 3), values in their
+    documented domains, and the four consuming query plans never fall
+    back to a sort-merge join (every dimension side must broadcast)."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.plans.partsupp import synth_partsupp
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    ps = synth_partsupp(spark, sf_dir)
+    n_parts = load_table(spark, sf_dir, "part").count()
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("ps_suppkey").alias("nd"),
+        F.min("ps_availqty").alias("qmin"),
+        F.max("ps_availqty").alias("qmax"),
+        F.min("ps_supplycost").alias("cmin"),
+    )
+    bad = per_part.filter(
+        (F.col("n") != 4)
+        | (F.col("nd") != 4)
+        | (F.col("qmin") < 1)
+        | (F.col("qmax") > 9999)
+        | (F.col("cmin") < 1.0)
+    )
+    assert per_part.count() == n_parts
+    assert bad.count() == 0
+    assert ps.filter(
+        (F.col("ps_suppkey") < 0) | (F.col("ps_suppkey") >= n_supp)
+    ).count() == 0
+    for q in (
+        "min_cost_supplier",
+        "important_stock",
+        "parts_supplier_counts",
+        "promotable_suppliers",
+    ):
+        assert "SortMergeJoin" not in plan_of(spark, sf_dir, q), q
 
 
 def test_no_global_sort_in_topk(spark, sf_dir):
