@@ -50,6 +50,30 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def find_regressions(
+    times: dict[str, float],
+    prior: dict[str, float],
+    calib: float,
+    prior_calib: float | None,
+    threshold: float = 1.5,
+) -> dict[str, dict[str, float]]:
+    """Queries slower than ``threshold``x the prior round AFTER
+    calib-normalization: prior times are scaled by how much
+    slower/faster this host run is than the prior one (calib ratio), so
+    a busier machine doesn't flag every query while a real per-query
+    code regression still trips the same threshold."""
+    speed = (
+        calib / prior_calib
+        if prior_calib and prior_calib > 0 and calib > 0
+        else 1.0
+    )
+    return {
+        n: {"prev": prior[n], "now": t, "calib_ratio": round(speed, 3)}
+        for n, t in times.items()
+        if n in prior and prior[n] >= 0.2 and t > threshold * prior[n] * speed
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -100,17 +124,16 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
     prior: dict[str, float] = {}
+    prior_calib = None
     if os.path.exists(detail_path):
         try:
             with open(detail_path) as f:
-                prior = json.load(f).get("queries", {})
+                prior_doc = json.load(f)
+            prior = prior_doc.get("queries", {})
+            prior_calib = prior_doc.get("calib_sec")
         except (json.JSONDecodeError, OSError):
             prior = {}
-    regressions = {
-        n: {"prev": prior[n], "now": t}
-        for n, t in times.items()
-        if n in prior and prior[n] >= 0.2 and t > 1.5 * prior[n]
-    }
+    regressions = find_regressions(times, prior, calib, prior_calib)
     with open(detail_path, "w") as f:
         json.dump(
             {

@@ -48,3 +48,23 @@ def test_bench_stdout_is_one_compact_parseable_line(
     d = json.loads(detail.read_text())
     assert set(d["queries"]) == set(stub)
     assert "regressions" in d and d["sf"] == 0.001
+
+
+def test_regression_gate_is_calib_normalized():
+    """A uniformly slower host (calib up 1.35x, every query up 1.35x)
+    must flag nothing; a genuine per-query 2x code regression must
+    still flag, busy host or not (the round-3 false-positive fix)."""
+    from bench import find_regressions
+
+    prior = {"q1": 1.0, "q2": 0.5, "tiny": 0.05}
+    # same machine speed, one real regression
+    r = find_regressions({"q1": 2.0, "q2": 0.5, "tiny": 0.2}, prior, 0.3, 0.3)
+    assert set(r) == {"q1"}  # tiny is under the 0.2s floor
+    # 1.35x busier host inflating everything uniformly: no flags
+    slow = {"q1": 1.35, "q2": 0.675, "tiny": 0.0675}
+    assert find_regressions(slow, prior, 0.405, 0.3) == {}
+    # busy host AND a real 2x regression on top: still flags
+    slow_reg = dict(slow, q2=2.0 * 0.675)
+    assert set(find_regressions(slow_reg, prior, 0.405, 0.3)) == {"q2"}
+    # missing prior calib degrades to the raw comparison
+    assert set(find_regressions({"q1": 1.6}, prior, 0.4, None)) == {"q1"}
