@@ -33,6 +33,7 @@ def connected_components(
     max_iterations: int = 20,
     reliable_checkpoint: bool = False,
     strict: bool = False,
+    on_iteration=None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component is the
     minimum node id reachable from the node (a canonical label).
@@ -48,6 +49,11 @@ def connected_components(
     exits after ``max_iterations`` without converging the labels are
     WRONG (components silently split); ``strict=True`` raises, else a
     RuntimeWarning is emitted.
+
+    ``on_iteration(i, changed)`` (optional) is invoked after each
+    materialized generation — probes use it to time iterations; each
+    iteration is fully materialized by its checkpoint, so wall between
+    callbacks is the true per-iteration cost.
     """
     if reliable_checkpoint:
         sc = pairs.sparkSession.sparkContext
@@ -74,7 +80,7 @@ def connected_components(
     )
 
     changed = 0
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy("a")
@@ -96,6 +102,8 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        if on_iteration is not None:
+            on_iteration(it, changed)
         if changed == 0:
             break
 

@@ -195,6 +195,36 @@ def test_q21_single_fact_scan(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_plan_baseline_no_regressions(spark, sf_dir):
+    """Plan-diff gate: for the headline + heaviest queries, the
+    committed baseline (tests/plan_baseline.json) pins shuffle count,
+    sort-merge joins, nested-loop joins, and scan count at sf0.01. A
+    commit that adds an exchange, flips a broadcast to a sort-merge,
+    or doubles a table scan fails HERE, at commit time — not in the
+    round's judge review. Intentional plan changes regenerate the
+    baseline (see the json's sibling comment in tools/plan_audit.py
+    --write-baseline)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.plan_audit import audit_plan
+
+    with open(os.path.join(os.path.dirname(__file__), "plan_baseline.json")) as f:
+        baseline = json.load(f)
+    errors = []
+    for name, want in baseline.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        got = audit_plan(df._jdf.queryExecution().executedPlan().toString())
+        for key in ("shuffles", "smj_joins", "bnl_joins", "scans"):
+            if got[key] > want[key]:
+                errors.append(f"{name}: {key} {want[key]} -> {got[key]}")
+    assert errors == [], "plan regressions vs tests/plan_baseline.json:\n" + "\n".join(
+        errors
+    )
+
+
 def test_snapshot_window_is_all_oracled():
     """The external correctness gate samples the first 50 registry
     entries; every one of those slots must carry a SQL oracle (rows-only
