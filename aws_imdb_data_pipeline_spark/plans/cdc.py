@@ -1,0 +1,91 @@
+"""CDC changelog queries: collapse-to-state and MERGE-style fold
+(lifecycle.cdc). The events table plays the changelog: signup=insert,
+error=delete tombstone, everything else=update, sequenced by
+(ts, event_id).
+
+The reference's only refresh strategy is a full staged reload; these
+queries are the row-level-change path a 100 TB lake needs instead
+(see lifecycle/cdc.py module docstring for the scale argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.lifecycle.cdc import apply_changelog, latest_state
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+_SPLIT = "2024-03-01"
+
+# shared oracle body: collapse the whole events changelog to state
+_LATEST_STATE_SQL = """
+    WITH ranked AS (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           ts AS last_ts,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _as_changelog(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+
+
+def _present(state: DataFrame) -> DataFrame:
+    return state.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "cdc_user_latest_state",
+    oracle=_LATEST_STATE_SQL,
+    operators=("L-cdc", "W1", "P2"),
+)
+def cdc_user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current state: last op per user wins, users whose
+    final op is the delete tombstone disappear. One shuffle on the key
+    (lifecycle.cdc.latest_state window)."""
+    ev = _as_changelog(load_table(spark, sf_dir, "events"))
+    return _present(latest_state(ev, ["user_id"], ["ts", "event_id"]))
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle=_LATEST_STATE_SQL,
+    operators=("L-cdc", "J-anti", "U1", "W1"),
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a changelog slice into a prior snapshot and land on the
+    same state a full collapse gives (the fold invariant — the oracle
+    is the whole-changelog collapse). Snapshot side is never shuffled:
+    anti-join on the slice's touched keys + union."""
+    ev = _as_changelog(load_table(spark, sf_dir, "events"))
+    old = ev.filter(F.col("ts") < F.lit(_SPLIT).cast("timestamp"))
+    new = ev.filter(F.col("ts") >= F.lit(_SPLIT).cast("timestamp"))
+    snapshot = latest_state(old, ["user_id"], ["ts", "event_id"])
+    merged = apply_changelog(snapshot, new, ["user_id"], ["ts", "event_id"])
+    return _present(merged)

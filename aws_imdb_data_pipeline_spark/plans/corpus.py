@@ -228,7 +228,7 @@ def corpus_prefix_sum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_doc_chunks",
-    oracle="""
+    oracle=r"""
     WITH w AS (
         SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
         FROM documents
