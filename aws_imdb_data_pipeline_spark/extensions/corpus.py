@@ -371,3 +371,57 @@ def mixture_sample(
             (F.col(source_col) == src) & (bucket < int(round(rate * n_buckets)))
         )
     return df.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+
+# MINSTD multiplier; any a coprime to _SHUFFLE_P works. P prime ⇒ the
+# affine map id ↦ (a·id + c) mod P is a bijection on [0, P) — but a
+# LOCALLY MONOTONE one (consecutive ids stay consecutive until a·id
+# wraps P, runs of ~P/a ≈ 20k ids), which is the opposite of a shuffle.
+# Composing with the cube map x ↦ x³ mod P — also a bijection, since
+# P is prime and gcd(3, P−1) = 1 — breaks the monotone runs: the
+# affine step spreads ids across [0, P), the cube step scrambles them.
+# All intermediates fit int64 ((P−1)² < 2^63), so BOTH engines compute
+# it exactly — no float, no engine-specific hash.
+_SHUFFLE_A = 48271
+_SHUFFLE_P = 1_000_000_007
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 12345,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign every row a deterministic pseudo-random training order:
+    ``shard`` (which output file/worker gets it) and ``pos`` (its rank
+    within the shard).
+
+    Pre-training wants documents visited in random order, but at 100 TB
+    the shuffle must be (a) reproducible across reruns and (b) stable
+    under re-partitioning. ``F.rand(seed)`` is NEITHER — its stream is
+    keyed to (partition index, row offset), so a repartition, a lost
+    executor, or AQE re-planning silently permutes the "random" order.
+    An affine permutation of the id space, ``(a·key + seed) mod P``, is
+    a pure column expression: same input row ⇒ same position, any plan.
+
+    Scale shape: no global sort. Ranks are computed PER SHARD
+    (``row_number`` partitioned by shard), so the only shuffle is a
+    hash exchange on ``n_shards`` keys and each shard sorts
+    independently — the same layout a writer produces with
+    ``repartition(shard).sortWithinPartitions(key)``. Keys ≥ P still
+    get a deterministic slot (the map stays total), they just alias
+    into the same residue class; tie-break on the key keeps the order
+    a total one.
+    """
+    p = F.lit(_SHUFFLE_P)
+    y = (F.lit(_SHUFFLE_A) * F.col(key_col) + F.lit(seed)) % p
+    key = (((y * y) % p) * y) % p  # y³ mod P, overflow-free
+    out = df.withColumn("__k", key).withColumn(
+        "shard", F.pmod(F.col("__k"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__k", key_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop("__k")

@@ -283,3 +283,39 @@ def corpus_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH affine AS (
+        SELECT doc_id,
+               (48271 * doc_id + 12345) % 1000000007 AS y
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, (((y * y) % 1000000007) * y) % 1000000007 AS k
+        FROM affine
+    ),
+    sharded AS (
+        SELECT doc_id, k, CAST(k % 8 AS INT) AS shard FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM sharded
+    """,
+    operators=("EXT-corpus", "W1", "P8"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (extensions.corpus.
+    seeded_shuffle): affine permutation of the id space → shard +
+    within-shard rank, reproducible under any physical plan — unlike
+    rand(seed), whose stream is keyed to partition layout. No global
+    sort: ranks are per-shard windows."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import seeded_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seeded_shuffle(docs, "doc_id", seed=12345, n_shards=8).select(
+        "doc_id", "shard", F.col("pos").cast("bigint").alias("pos")
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from aws_imdb_data_pipeline_spark.extensions.clusters import (  # noqa: E402
     connected_components,
+    connected_components_stars,
 )
 from aws_imdb_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -58,7 +59,12 @@ def synth_edges(spark, n_edges: int):
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [1_000_000, 2_000_000, 4_000_000]
+    args = list(sys.argv[1:])
+    algo = "prop"
+    if "--stars" in args:
+        algo = "stars"
+        args.remove("--stars")
+    sizes = [int(a) for a in args] or [1_000_000, 2_000_000, 4_000_000]
     spark = get_spark("cc-probe")
     spark.sparkContext.setLogLevel("ERROR")
     ckpt = tempfile.mkdtemp(prefix="cc_probe_ckpt_")
@@ -75,19 +81,29 @@ def main() -> None:
             marks["t"] = now
 
         t0 = time.perf_counter()
-        comp = connected_components(
-            edges,
-            max_iterations=LONG + 2,
-            reliable_checkpoint=True,
-            strict=True,
-            on_iteration=tick,
-        )
+        if algo == "stars":
+            comp = connected_components_stars(
+                edges,
+                max_rounds=12,
+                reliable_checkpoint=True,
+                strict=True,
+                on_round=tick,
+            )
+        else:
+            comp = connected_components(
+                edges,
+                max_iterations=LONG + 2,
+                reliable_checkpoint=True,
+                strict=True,
+                on_iteration=tick,
+            )
         n_components = comp.select("component").distinct().count()
         total = round(time.perf_counter() - t0, 2)
         edges.unpersist()
         print(
             json.dumps(
                 {
+                    "algo": algo,
                     "edges": n,
                     "nodes": int(n * SHORT / (SHORT - 1)),
                     "iterations": len(iter_walls),
