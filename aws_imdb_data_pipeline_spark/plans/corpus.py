@@ -319,3 +319,46 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded_shuffle(docs, "doc_id", seed=12345, n_shards=8).select(
         "doc_id", "shard", F.col("pos").cast("bigint").alias("pos")
     )
+
+
+@register(
+    "corpus_length_histogram",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_words
+        FROM documents WHERE trim(text) <> ''
+        UNION ALL
+        SELECT doc_id, 0 AS n_words FROM documents WHERE trim(text) = ''
+    )
+    SELECT CAST(n_words // 50 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           MIN(n_words) AS min_words,
+           MAX(n_words) AS max_words,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words
+    FROM toks
+    GROUP BY 1
+    """,
+    operators=("EXT-corpus", "EXT-text", "A1", "P9"),
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in exact 50-word bins — the
+    batch-sizing profile a training pipeline reads before choosing
+    context-length buckets. Integer division binning (never
+    floor(log2): float log at bin edges diverges between engines).
+    Uses the shared \\s+ tokenizer; empty docs land in bin 0."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.when(
+        F.trim(F.col("text")) == "", F.lit(0)
+    ).otherwise(F.size(_words(F.trim(F.col("text")))))
+    binned = docs.select(n_words.alias("n_words")).select(
+        (F.col("n_words") / 50).cast("bigint").alias("bin"), "n_words"
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_words").cast("bigint").alias("min_words"),
+        F.max("n_words").cast("bigint").alias("max_words"),
+        F.sum("n_words").alias("sum_words"),
+    )

@@ -1,8 +1,12 @@
+from aws_imdb_data_pipeline_spark.streaming.joins import (
+    interval_join_streams,
+)
 from aws_imdb_data_pipeline_spark.streaming.stateful import (
     user_event_type_counts,
     user_running_totals,
 )
 from aws_imdb_data_pipeline_spark.streaming.events import (
+    dedup_events,
     tumbling_counts,
     sliding_value_stats,
     sessionize,
@@ -11,6 +15,8 @@ from aws_imdb_data_pipeline_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_events",
+    "interval_join_streams",
     "tumbling_counts",
     "sliding_value_stats",
     "sessionize",

@@ -140,3 +140,26 @@ def stream_to_lake(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exactly-once event feed from an at-least-once source (Kafka
+    redeliveries, producer retries): drop duplicate ``keys`` rows.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state holds one
+    entry per key only until the watermark passes it, so memory is
+    bounded by the duplication window, not the stream's lifetime
+    (plain ``dropDuplicates`` on a stream grows state forever).
+    Batch: plain ``dropDuplicates`` (same observable result when all
+    duplicates fall inside the watermark window)."""
+    if events.isStreaming:
+        df = events
+        if watermark is not None:
+            df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -213,6 +213,13 @@ def test_plan_baseline_no_regressions(spark, sf_dir):
 
     with open(os.path.join(os.path.dirname(__file__), "plan_baseline.json")) as f:
         baseline = json.load(f)
+    # Pin the audit to the UNCACHED state the baseline was generated in
+    # (fresh process): queries that persist() internally (minhash's
+    # shared shingle table) print a different executedPlan once another
+    # test has MATERIALIZED that cache — the cached subtree renders its
+    # final adaptive plan, inflating the regex feature counts and making
+    # the gate order-dependent within the suite.
+    spark.catalog.clearCache()
     errors = []
     for name, want in baseline.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -83,13 +83,16 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     base.coalesce(1).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
-    stream = (
+    from aws_imdb_data_pipeline_spark.streaming import dedup_events
+
+    raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
     )
+    stream = dedup_events(raw, ["event_id"], ts_col="ts", watermark="1 hour")
+    # and the SAME function on the batch read gives the same result
+    assert dedup_events(spark.read.parquet(src), ["event_id"]).count() == 100
     q = (
         stream.writeStream.format("memory")
         .queryName("t_dedup")
@@ -277,13 +280,11 @@ def test_stream_stream_interval_join(spark, tmp_path):
         spark.readStream.schema(purchases.schema).parquet(p_src)
         .withWatermark("p_ts", "2 hours")
     )
-    p_stream = p_stream.withColumnRenamed("user_id", "p_user_id")
-    joined = c_stream.join(
-        p_stream,
-        F.expr(
-            "user_id = p_user_id AND "
-            "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"
-        ),
+    from aws_imdb_data_pipeline_spark.streaming import interval_join_streams
+
+    joined = interval_join_streams(
+        c_stream, p_stream, on=["user_id"], left_ts="c_ts", right_ts="p_ts",
+        max_gap_seconds=3600,
     )
     q = (
         joined.select("click_id", "purchase_id")
@@ -391,3 +392,55 @@ def test_tws_ttl_uses_processing_time_mode(spark, sf_dir, tmp_path):
     got = {(r.user_id, r.event_type): r.n_events for r in final.collect()}
     want = {(r.user_id, r.event_type): r.n_events for r in expected.collect()}
     assert got == want
+
+
+def test_interval_join_streams_matches_batch_on_events(spark, sf_dir, tmp_path):
+    """interval_join_streams drained over the real events table equals
+    the batch run of the SAME function, which equals the oracled
+    click_purchase_interval_pairs composition (operators.temporal)."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.repartition(3).write.parquet(c_src)
+    purchases.repartition(3).write.parquet(p_src)
+
+    c_stream = spark.readStream.schema(clicks.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(c_src)
+    p_stream = spark.readStream.schema(purchases.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p_src)
+    streamed = interval_join_streams(
+        c_stream, p_stream, on=["user_id"], left_ts="c_ts", right_ts="p_ts",
+        max_gap_seconds=3600, watermark="365 days",
+    ).select("click_id", "purchase_id")
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("t_ss_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {(r.click_id, r.purchase_id)
+           for r in spark.table("t_ss_events").collect()}
+
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join_streams(
+            spark.read.parquet(c_src), spark.read.parquet(p_src),
+            on=["user_id"], left_ts="c_ts", right_ts="p_ts",
+            max_gap_seconds=3600,
+        ).select("click_id", "purchase_id").collect()
+    }
+    assert got == want and len(want) > 0
