@@ -330,3 +330,52 @@ def repetition_signals(
         )
     )
     return df.join(stats, id_col, "left")
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality scoring: fit a unigram LM
+    on the corpus itself (MLE word frequencies) and score each document
+    by its total and mean log-probability under it. Low-probability
+    documents are boilerplate/noise candidates; the score is the
+    standard cheap stand-in for a KenLM perplexity filter.
+
+    Plan shape (all JVM-side, two shuffles):
+      1. explode words → groupBy word → count  (shuffle 1: vocab build;
+         map-side partial aggregation absorbs Zipfian word skew)
+      2. corpus total = 1-row aggregate, broadcast
+      3. exploded words ⋈ vocab on word (shuffle 2 co-partitions both
+         sides on the word) → per-doc SUM of ln(count/total)
+    The vocab is corpus-vocabulary-sized (≪ corpus at 100 TB; broadcast
+    it instead when it fits — Catalyst/AQE decides from stats).
+
+    Float policy: the per-doc SUM of logs is rounded (engine libm logs
+    can differ at the last ulp; see tools/parity float policy); the
+    mean divides the ROUNDED sum by the exact integer count, so both
+    engines divide identical operands.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("__w")
+    ).filter(F.col("__w") != "")
+    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n")).select("__n")
+    scored = (
+        words.join(vocab, "__w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.sum(F.log(F.col("__c") / F.col("__n"))), 4
+            ).alias("sum_logprob"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_words",
+        "sum_logprob",
+        (F.col("sum_logprob") / F.col("n_words")).alias("avg_logprob"),
+    )

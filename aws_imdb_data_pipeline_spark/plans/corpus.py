@@ -362,3 +362,36 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_words").cast("bigint").alias("max_words"),
         F.sum("n_words").alias("sum_words"),
     )
+
+
+@register(
+    "doc_lm_scores",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, w AS word
+        FROM documents,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+        WHERE w <> ''
+    ),
+    vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+    total AS (SELECT SUM(c) AS n FROM vocab)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           ROUND(SUM(LN(c / n)), 4) AS sum_logprob,
+           ROUND(SUM(LN(c / n)), 4) / COUNT(*) AS avg_logprob
+    FROM words JOIN vocab USING (word) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    operators=("EXT-text", "EXT-corpus", "A1", "J1"),
+)
+def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: unigram-LM log-probability per
+    document, model fit on the corpus itself (extensions.textstats.
+    unigram_lm_scores). The standard cheap stand-in for CCNet's KenLM
+    perplexity bucketing."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        unigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "doc_id", "text")
