@@ -56,3 +56,96 @@ def merge_sketches(
     return merged.withColumn(
         estimate_col, F.hll_sketch_estimate(SKETCH_COL).cast("long")
     ).drop(SKETCH_COL)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch over integer keys — engine-portable hashing
+# ---------------------------------------------------------------------------
+
+# depth-many pairwise-independent hash rows. Each row d maps key x to a
+# bucket via an affine-then-cube bijection mod a prime (the same
+# construction extensions.corpus.seeded_shuffle uses, and for the same
+# reason: every intermediate fits int64 and ANY SQL engine reproduces
+# it bit-for-bit — unlike xxhash64, which pins the sketch to Spark).
+_CMS_P = 1_000_000_007
+_CMS_A = (48271, 69621, 16807, 40692, 10007, 33211, 50021, 69997)
+_CMS_C = (12345, 54321, 7919, 104729, 1299709, 15485863, 32452843, 49979687)
+
+
+def _cms_bucket(key, d: int, width: int):
+    y = (F.lit(_CMS_A[d]) * key + F.lit(_CMS_C[d])) % F.lit(_CMS_P)
+    k = (((y * y) % F.lit(_CMS_P)) * y) % F.lit(_CMS_P)
+    return F.pmod(k, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch of ``key_col`` occurrences as a (depth, bucket,
+    count) table — depth*width rows TOTAL, regardless of input size.
+
+    Shape: one explode to depth rows per input row (narrow, codegen),
+    one aggregate shuffle onto at most depth*width groups (map-side
+    partial aggregation collapses almost everything before the
+    exchange). The sketch MERGES by summing counts per (depth, bucket)
+    — build sketches per partition/day, add them later, exactly like
+    the HLL pattern above but for FREQUENCIES: "how often did key x
+    appear across any slice combination" with estimate >= truth and
+    overestimate bounded by ~2N/width at 1-exp(-depth) confidence.
+    """
+    if depth > len(_CMS_A):
+        raise ValueError(f"depth <= {len(_CMS_A)} supported")
+    key = F.col(key_col)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cms_bucket(key, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db")
+    )
+    return (
+        rows.select("db.depth", "db.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-estimate ``key_col`` frequencies from a CMS table: for
+    each key, min over depths of its bucket's count (0 if the bucket
+    row is absent). The sketch is depth*width rows → broadcast side of
+    the lookup join; estimating any number of keys costs one scan of
+    ``keys``."""
+    probes = keys.select(
+        key_col,
+        *[
+            _cms_bucket(F.col(key_col), d, width).alias(f"__b{d}")
+            for d in range(depth)
+        ],
+    )
+    out = probes
+    for d in range(depth):
+        side = sketch.filter(F.col("depth") == d).select(
+            F.col("bucket").alias(f"__b{d}"),
+            F.col("count").alias(f"__c{d}"),
+        )
+        out = out.join(F.broadcast(side), f"__b{d}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"__c{d}"), F.lit(0)) for d in range(depth)]
+    )
+    return out.select(key_col, est.alias("estimate"))

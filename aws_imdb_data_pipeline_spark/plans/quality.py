@@ -121,3 +121,87 @@ def incremental_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFram
             <= 0.05
         ).alias("within_5pct"),
     )
+
+
+_CMS_ROWS_SQL = """(VALUES (0, 48271, 12345), (1, 69621, 54321),
+                           (2, 16807, 7919), (3, 40692, 104729))
+                   AS hrow(d, a, c)"""
+
+_CMS_H_SQL = f"""
+    h AS (
+        SELECT e.user_id, hrow.d AS depth,
+               (((((hrow.a * e.user_id + hrow.c) % 1000000007)
+                  * ((hrow.a * e.user_id + hrow.c) % 1000000007))
+                 % 1000000007)
+                * ((hrow.a * e.user_id + hrow.c) % 1000000007))
+               % 1000000007 % 64 AS bucket
+        FROM events e, {_CMS_ROWS_SQL}
+    )
+"""
+
+
+@register(
+    "cms_user_event_sketch",
+    oracle=f"""
+    WITH {_CMS_H_SQL}
+    SELECT depth, bucket, COUNT(*) AS count
+    FROM h GROUP BY depth, bucket
+    """,
+    operators=("EXT-sketch", "A1"),
+)
+def cms_user_event_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of per-user event frequencies as a
+    depth×width=4×64-row MERGEABLE table (operators.sketches.cms_build)
+    — the frequency analogue of the HLL pattern: persist one sketch
+    per slice, sum them later, estimate any key's count without the
+    raw data. Hashing is the engine-portable affine-then-cube map, so
+    the ORACLE rebuilds the identical sketch (vs xxhash-based sketches,
+    which are rows-only by necessity)."""
+    from aws_imdb_data_pipeline_spark.operators.sketches import cms_build
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_build(ev, "user_id", depth=4, width=64)
+
+
+@register(
+    "cms_user_event_estimates",
+    oracle=f"""
+    WITH {_CMS_H_SQL},
+    sketch AS (
+        SELECT depth, bucket, COUNT(*) AS c FROM h GROUP BY depth, bucket
+    ),
+    truec AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    probes AS (SELECT DISTINCT user_id, depth, bucket FROM h),
+    est AS (
+        SELECT p.user_id, MIN(s.c) AS estimate
+        FROM probes p JOIN sketch s
+          ON s.depth = p.depth AND s.bucket = p.bucket
+        GROUP BY p.user_id
+    )
+    SELECT t.user_id, e.estimate, t.c AS true_count,
+           e.estimate - t.c AS overestimate
+    FROM est e JOIN truec t ON t.user_id = e.user_id
+    """,
+    operators=("EXT-sketch", "A1", "J1"),
+)
+def cms_user_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point estimates vs ground truth for every user: estimate =
+    min over the 4 hash rows of the bucket count (broadcast lookup
+    joins against the 256-row sketch), overestimate >= 0 always —
+    the defining CMS guarantee, verified row-for-row by the oracle."""
+    from aws_imdb_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=4, width=64)
+    users = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, users, "user_id", depth=4, width=64)
+    true_c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(true_c, "user_id").select(
+        "user_id",
+        "estimate",
+        "true_count",
+        (F.col("estimate") - F.col("true_count")).alias("overestimate"),
+    )

@@ -273,3 +273,44 @@ def test_snapshot_order_is_freshness_computed():
     never = [n for n in oracled if n not in last_green]
     outside = [n for n in never if names.index(n) >= 50]
     assert outside == [], f"never-verified oracled queries outside window: {outside}"
+
+
+def test_runtime_bloom_filter_join_activates(spark, sf_dir):
+    """Runtime bloom-filter pruning (enabled by default in the session)
+    injects a bloom_filter semi-join filter on the fact side of a
+    selective join once the size thresholds are met — inert at test
+    scale (application side must scan ~10 GB), so this test lowers the
+    thresholds to prove the machinery fires; at 100 TB it fires on the
+    real thresholds with zero code changes."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join: bloom pruning is pointless under broadcast
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(True)
+        plan = buf.getvalue()
+        assert "bloom_filter" in plan.lower(), plan[-3000:]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
