@@ -20,6 +20,11 @@ from aws_imdb_data_pipeline_spark.extensions.similarity import (
     lsh_band_buckets,
     lsh_candidate_pairs_embedding,
 )
+from aws_imdb_data_pipeline_spark.extensions.pq import (
+    cosine_topk_ivf_pq,
+    pq_encode,
+    train_pq,
+)
 from aws_imdb_data_pipeline_spark.extensions.ivf import (
     build_ivf_assignments,
     cosine_topk_ivf,
@@ -51,6 +56,9 @@ __all__ = [
     "lsh_candidate_pairs_embedding",
     "build_ivf_assignments",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_pq",
+    "pq_encode",
+    "train_pq",
     "token_stats",
     "language_id",
     "quality_score",

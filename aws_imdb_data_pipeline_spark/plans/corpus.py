@@ -395,3 +395,74 @@ def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_lm_scores(docs, "doc_id", "text")
+
+
+@register(
+    "lm_quality_buckets",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, w AS word
+        FROM documents,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+        WHERE w <> ''
+    ),
+    vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+    total AS (SELECT SUM(c) AS n FROM vocab),
+    scored AS (
+        SELECT w.doc_id,
+               ROUND(SUM(LN(c / n)), 4) / COUNT(*) AS avg_logprob
+        FROM words w JOIN vocab USING (word) CROSS JOIN total
+        GROUP BY w.doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(avg_logprob, 1.0/3) AS c1,
+               quantile_cont(avg_logprob, 2.0/3) AS c2
+        FROM scored
+    ),
+    bucketed AS (
+        SELECT d.source,
+               CASE WHEN s.avg_logprob >= c.c2 THEN 'head'
+                    WHEN s.avg_logprob >= c.c1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN documents d USING (doc_id) CROSS JOIN cuts c
+    )
+    SELECT source, bucket, COUNT(*) AS n_docs
+    FROM bucketed GROUP BY source, bucket
+    """,
+    operators=("EXT-text", "EXT-corpus", "A-percentile", "A1"),
+)
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing: exact global
+    terciles of the unigram-LM score (1-row aggregate, broadcast back)
+    band every document; report the per-source mix. The cutoffs are
+    exact percentiles on identical doubles in both engines (same
+    linear interpolation — see price_percentiles), and the banding
+    compares those identical doubles, so the oracle hash-matches.
+    At 100 TB swap the exact percentile for approx_percentile and keep
+    everything else (the cutoff stays a broadcast scalar)."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        unigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_lm_scores(docs, "doc_id", "text").select(
+        "doc_id", "avg_logprob"
+    )
+    cuts = scored.agg(
+        F.percentile("avg_logprob", F.lit(1.0 / 3)).alias("c1"),
+        F.percentile("avg_logprob", F.lit(2.0 / 3)).alias("c2"),
+    )
+    bucketed = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "source",
+            F.when(F.col("avg_logprob") >= F.col("c2"), F.lit("head"))
+            .when(F.col("avg_logprob") >= F.col("c1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

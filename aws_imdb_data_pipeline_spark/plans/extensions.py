@@ -799,6 +799,24 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_cosine_topk_ivf_pq", oracle=None, operators=("EXT-sim",))
+def ann_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k — the MEMORY-scale ANN path: 8-byte
+    codes instead of 256-byte raw vectors (32x), ADC lookup scoring
+    (m element_at chains per pair, no per-pair dot product), exact
+    cosine re-rank of an 8k-per-query shortlist. Approximate ->
+    rows-only; recall + twin-retrieval pinned in
+    tests/test_similarity.py."""
+    from aws_imdb_data_pipeline_spark.extensions.pq import cosine_topk_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf_pq(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
+        dim=64, k=5, n_lists=16, n_probe=4, m=8, pq_k=16,
+        refine_factor=8, fit_fraction=0.25,
+    )
+
+
 @register(
     "fuzzy_part_name_pairs",
     oracle="""

@@ -272,3 +272,67 @@ def test_embedding_cluster_sizes_partition_property(spark, sf_dir):
     r2 = {r.cluster_id: r.n_vectors
           for r in REGISTRY["embedding_cluster_sizes"].fn(spark, sf_dir).collect()}
     assert r1 == r2
+
+
+def test_cosine_topk_ivf_pq_recall_and_refined_scores(spark, sf_dir):
+    """IVF-PQ: refined scores are the exact cosine wherever the pair is
+    also in brute-force truth, recall clears a floor, and the codes
+    actually compress (m small ints per vector)."""
+    from aws_imdb_data_pipeline_spark.extensions import cosine_topk
+    from aws_imdb_data_pipeline_spark.extensions.pq import (
+        cosine_topk_ivf_pq,
+        pq_encode,
+        train_pq,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 20")
+    truth = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(q, emb, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk_ivf_pq(
+            q, emb, "vec_id", "embedding", dim=64,
+            k=5, n_lists=16, n_probe=4, m=8, pq_k=16, refine_factor=8,
+        ).collect()
+    }
+    for pair, cos in approx.items():
+        if pair in truth:
+            assert abs(cos - truth[pair]) < 1e-9
+    recall = len(set(approx) & set(truth)) / len(truth)
+    # PQ ranks within the probed cells; floor below plain IVF's because
+    # code distances are approximate
+    assert recall >= 0.45, recall
+
+    codebooks = train_pq(emb, "embedding", dim=64, m=8, k=16)
+    assert len(codebooks) == 8 and len(codebooks[0]) == 16
+    assert len(codebooks[0][0]) == 8
+    codes = pq_encode(emb, "embedding", codebooks).select("__codes").collect()
+    assert all(len(r["__codes"]) == 8 for r in codes)
+    assert all(0 <= c <= 15 for r in codes for c in r["__codes"])
+
+
+def test_pq_adc_identifies_planted_twin(spark):
+    """A vector's near-copy must be its PQ top-1: the ADC lookup path
+    (element_at chains) returns the planted twin for every query."""
+    import random
+
+    from aws_imdb_data_pipeline_spark.extensions.pq import cosine_topk_ivf_pq
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        rows.append((i + 1000, [x + rng.gauss(0, 0.01) for x in v]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = vecs.filter("vec_id < 20")
+    out = cosine_topk_ivf_pq(
+        q, vecs, "vec_id", "embedding", dim=16,
+        k=1, n_lists=4, n_probe=2, m=4, pq_k=16,
+    ).collect()
+    hits = sum(1 for r in out if r.neighbor_id == r.query_id + 1000)
+    assert hits >= 18, hits  # twins share a cell ~always at this noise
