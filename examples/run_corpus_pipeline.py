@@ -3,14 +3,15 @@ composed into one gated pipeline.
 
     quality filters (C4 rules + repetition signals)
     → PII redaction → exact dedup (keep-list)
-    → benchmark decontamination → split assignment
-    → per-source mixture sampling → token-budget packing
+    → benchmark decontamination → LM perplexity-tail filter
+    → split assignment → per-source mixture sampling
+    → token-budget packing → deterministic training-order shuffle
     → partitioned lake write → expectation gate + composition report
 
 Every stage is the same operator a registered query exercises
 (`c4_style_filters`, `repetition_signals`, `dedup_keep_list`,
-`corpus_contamination`, `corpus_split_counts`, `corpus_mixture_sample`,
-`corpus_pack_bins`); this example proves they compose — filters stay
+`corpus_contamination`, `lm_quality_buckets`, `corpus_split_counts`,
+`corpus_mixture_sample`, `corpus_pack_bins`, `corpus_shuffle_shards`); this example proves they compose — filters stay
 whole-stage-codegen projections that pipeline into one scan, the only
 shuffles are the dedup window and the contamination join, and the final
 write is Hive-partitioned by (split, source) so downstream training
@@ -38,10 +39,12 @@ from aws_imdb_data_pipeline_spark.extensions.corpus import (
     mixture_sample,
     pack_documents,
     redact_pii,
+    seeded_shuffle,
     split_assignment,
 )
 from aws_imdb_data_pipeline_spark.extensions.textstats import (
     repetition_signals,
+    unigram_lm_scores,
 )
 from aws_imdb_data_pipeline_spark.quality import (
     expect_min_rows,
@@ -108,6 +111,26 @@ def decontamination_gate(
     ).drop("contamination_ratio")
 
 
+def lm_tail_gate(docs: DataFrame, drop_frac: float = 1 / 3) -> DataFrame:
+    """Stage 4.5 — CCNet-style perplexity filter: drop the worst
+    ``drop_frac`` of documents by unigram-LM mean log-prob. The cutoff
+    is ONE exact percentile (a broadcast scalar — swap in
+    approx_percentile at 100 TB); scoring is two shuffles
+    (extensions.textstats.unigram_lm_scores)."""
+    scored = unigram_lm_scores(
+        docs.select("doc_id", F.col("clean_text").alias("text"))
+    ).select("doc_id", "avg_logprob")
+    cut = scored.agg(
+        F.percentile("avg_logprob", F.lit(drop_frac)).alias("__cut")
+    )
+    keep = (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("avg_logprob") >= F.col("__cut"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
 def build_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_raw = docs.count()
@@ -119,6 +142,7 @@ def build_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     staged = redact_pii(staged)  # stage 2: adds clean_text, n_redactions
     staged = dedup_gate(staged)
     staged = decontamination_gate(staged, benchmark)
+    staged = lm_tail_gate(staged)  # stage 4.5: perplexity-tail drop
     staged = split_assignment(staged, "doc_id")  # stage 5: adds split
     sampled = mixture_sample(staged, mixture_rates(docs))  # stage 6
 
@@ -133,6 +157,8 @@ def build_corpus(spark, sf_dir: str, out_dir: str) -> dict:
     ).select(
         "doc_id", "clean_text", "n_redactions", "lang", "source", "split", "bin_id"
     )
+    # stage 8: reproducible training order (plan-stable, unlike rand)
+    final = seeded_shuffle(final, "doc_id", seed=20240814, n_shards=4)
     final.write.mode("overwrite").partitionBy("split", "source").parquet(out_dir)
 
     built = spark.read.parquet(out_dir)

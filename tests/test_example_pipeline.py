@@ -110,3 +110,27 @@ def test_corpus_pipeline_end_to_end(tmp_path, spark):
     for r in train_rows:
         assert r.bin_id == offset // PACK_BUDGET, r
         offset += r.n_tokens
+
+
+def test_corpus_pipeline_lm_filter_and_shuffle(tmp_path, spark):
+    """Round-4 stages: the perplexity-tail gate drops documents (but
+    never all), and the built lake carries a deterministic
+    (shard, pos) training order — per-shard ranks are dense from 1."""
+    from pyspark.sql import functions as F
+
+    from run_corpus_pipeline import build_corpus
+
+    out = str(tmp_path / "corpus_lm")
+    build_corpus(spark, "/root/testdata/sf0.001", out)
+    built = spark.read.parquet(out)
+    assert {"shard", "pos"} <= set(built.columns)
+    per_shard = {
+        r.shard: r.n
+        for r in built.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_shard) <= {0, 1, 2, 3} and len(per_shard) >= 2
+    maxpos = {
+        r.shard: r.m
+        for r in built.groupBy("shard").agg(F.max("pos").alias("m")).collect()
+    }
+    assert maxpos == per_shard  # dense 1..n ranks per shard
