@@ -425,3 +425,42 @@ def seeded_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("__k", key_col)
     return out.withColumn("pos", F.row_number().over(w)).drop("__k")
+
+
+def sqrt_temperature_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Temperature-balanced source mixing at T=2 (α=0.5): downsample
+    each source at rate √(min_count/count_s), so the kept mix follows
+    share^0.5 — the standard dampening that stops one giant crawl
+    source from drowning every small high-quality one, with the
+    smallest source kept in full.
+
+    Mechanics mirror :func:`mixture_sample` (deterministic key-mod
+    keep — reproducible under retries), but the rates are computed IN
+    the frame from observed counts (one tiny aggregate broadcast back)
+    instead of passed in. α is fixed at 0.5 on purpose: IEEE sqrt is
+    correctly rounded, so the cutoff ``floor(n_buckets·rate)`` is
+    bit-identical in any engine, where a general ``pow(x, α)`` need
+    not be (oracle-portability — the same reason seeded_shuffle avoids
+    engine hashes).
+
+    Contract (shared with mixture_sample/split_assignment): keys must
+    be ~uniform mod ``n_buckets`` — true for sequential ids when
+    n_buckets ≪ rows per source. Ids clustered mod n_buckets (offset
+    blocks, sharded id spaces) need a hash first; keep n_buckets small
+    relative to the smallest source."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
+    min_c = counts.agg(F.min("__c").alias("__mc"))
+    cuts = counts.crossJoin(F.broadcast(min_c)).select(
+        source_col,
+        F.floor(
+            F.lit(n_buckets) * F.sqrt(F.col("__mc") / F.col("__c"))
+        ).alias("__cut"),
+    )
+    return df.join(F.broadcast(cuts), source_col).filter(
+        F.pmod(F.col(key_col), F.lit(n_buckets)) < F.col("__cut")
+    ).drop("__cut")

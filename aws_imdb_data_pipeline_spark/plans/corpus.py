@@ -466,3 +466,43 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("source", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+    ),
+    cuts AS (
+        SELECT source, c,
+               FLOOR(1000 * SQRT((SELECT MIN(c) FROM counts) * 1.0 / c))
+                   AS cut
+        FROM counts
+    )
+    SELECT d.source,
+           MAX(k.c) AS n_total,
+           COUNT(*) AS n_kept
+    FROM documents d
+    JOIN cuts k ON k.source = d.source
+    WHERE d.doc_id % 1000 < k.cut
+    GROUP BY d.source
+    """,
+    operators=("EXT-corpus", "A2", "P2"),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=2 temperature mixing (extensions.corpus.
+    sqrt_temperature_mixture): rates √(min/count) derived from observed
+    source counts, applied as a deterministic key-mod filter; report
+    total vs kept per source. sqrt is IEEE-correctly-rounded → the
+    oracle computes the identical cutoff."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        sqrt_temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = sqrt_temperature_mixture(docs).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return kept.join(totals, "source").select("source", "n_total", "n_kept")

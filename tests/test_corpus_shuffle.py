@@ -58,3 +58,32 @@ def test_seeded_shuffle_no_global_sort_in_plan(spark):
     # one hash exchange on shard for the per-shard window; never a
     # rangepartitioning (global sort) exchange
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_sqrt_temperature_mixture_balances_sources(spark):
+    """T=2 mixing: smallest source kept ~fully, a 100x bigger source
+    kept at ~sqrt(1/100)=10% of its rows, and the filter is
+    deterministic (same result twice)."""
+    import math
+
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        sqrt_temperature_mixture,
+    )
+
+    small = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("small").alias("source")
+    )
+    big = spark.range(0, 100_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"), F.lit("big").alias("source")
+    )
+    docs = small.unionByName(big)
+    kept = sqrt_temperature_mixture(docs)
+    counts = {r.source: r.n for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] >= 990  # rate 1.0 (mod buckets may miss a hair)
+    want_big = 100_000 * math.sqrt(1000 / 100_000)
+    assert abs(counts["big"] - want_big) / want_big < 0.05
+    again = {r.source: r.n for r in
+             sqrt_temperature_mixture(docs).groupBy("source")
+             .agg(F.count("*").alias("n")).collect()}
+    assert again == counts
