@@ -318,7 +318,10 @@ def sql_ordinal_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "scan_file_metadata",
-    oracle=None,  # path formats are engine-specific; rows-only + pytest
+    # the recovered file identity must equal the actual table name and
+    # carry the full row count — the oracle pins both (path FORMATS are
+    # engine-specific, but the extracted basename is not)
+    oracle="SELECT 'orders' AS source_table, COUNT(*) AS n_rows FROM orders",
     operators=("S7", "F9"),
 )
 def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,4 +1,5 @@
 from aws_imdb_data_pipeline_spark.streaming.joins import (
+    enrich_stream,
     interval_join_streams,
 )
 from aws_imdb_data_pipeline_spark.streaming.stateful import (
@@ -16,6 +17,7 @@ from aws_imdb_data_pipeline_spark.streaming.events import (
 
 __all__ = [
     "dedup_events",
+    "enrich_stream",
     "interval_join_streams",
     "tumbling_counts",
     "sliding_value_stats",

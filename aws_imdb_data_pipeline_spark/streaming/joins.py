@@ -70,3 +70,18 @@ def interval_join_streams(
         )
     )
     return left.join(right, cond, how).drop(*renamed.values())
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: attach dimension attributes to an event
+    stream. The static side is broadcast-hinted — each micro-batch
+    probes the dimension locally, no shuffle of the stream and no join
+    state at all (unlike stream-stream joins, the static side is
+    re-resolved per batch, so a dim refresh between batches is picked
+    up). The same call works in batch for testing parity."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -444,3 +444,42 @@ def test_interval_join_streams_matches_batch_on_events(spark, sf_dir, tmp_path):
         ).select("click_id", "purchase_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_enrich_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment: drained stream equals the
+    batch join, and the streaming plan carries no join state (static
+    side broadcast per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming import enrich_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = str(tmp_path / "enrich_src")
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.c_mktsegment)
+        for r in spark.table("t_enrich").collect()
+    }
+    want = {
+        (r.event_id, r.c_mktsegment)
+        for r in enrich_stream(spark.read.parquet(src), dim, ["user_id"]).collect()
+    }
+    assert got == want and len(want) > 0
