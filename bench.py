@@ -58,12 +58,18 @@ def find_regressions(
     threshold: float = 1.5,
 ) -> dict[str, dict[str, float]]:
     """Queries slower than ``threshold``x the prior round AFTER
-    calib-normalization: prior times are scaled by how much
-    slower/faster this host run is than the prior one (calib ratio), so
-    a busier machine doesn't flag every query while a real per-query
-    code regression still trips the same threshold."""
+    calib-normalization: prior times are scaled by how much SLOWER this
+    host run is than the prior one (calib ratio), so a busier machine
+    doesn't flag every query while a real per-query code regression
+    still trips the same threshold.
+
+    The ratio is clamped at 1.0 from below: calib measures peak
+    arithmetic throughput, but small-query wall is mostly fixed
+    overhead that does NOT shrink with a faster host — scaling the
+    threshold DOWN on a fast host flagged 95 phantom "regressions"
+    (measured round 4). A faster machine just compares raw times."""
     speed = (
-        calib / prior_calib
+        max(calib / prior_calib, 1.0)
         if prior_calib and prior_calib > 0 and calib > 0
         else 1.0
     )
