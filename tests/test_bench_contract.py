@@ -68,3 +68,16 @@ def test_regression_gate_is_calib_normalized():
     assert set(find_regressions(slow_reg, prior, 0.405, 0.3)) == {"q2"}
     # missing prior calib degrades to the raw comparison
     assert set(find_regressions({"q1": 1.6}, prior, 0.4, None)) == {"q1"}
+
+
+def test_regression_gate_clamps_on_faster_host():
+    """A FASTER host (calib halved) must not shrink the threshold:
+    queries at their prior raw times flag nothing (fixed-overhead wall
+    doesn't track peak throughput — the round-4 phantom-regression
+    fix); a genuine raw 2x regression still flags."""
+    from bench import find_regressions
+
+    prior = {"q1": 1.0, "q2": 0.5}
+    same = {"q1": 1.0, "q2": 0.5}
+    assert find_regressions(same, prior, 0.15, 0.3) == {}
+    assert set(find_regressions({"q1": 2.1, "q2": 0.5}, prior, 0.15, 0.3)) == {"q1"}
