@@ -91,3 +91,60 @@ def test_approx_percentile_brackets_exact(spark, sf_dir):
     assert {r.o_orderpriority for r in rows} == exact_groups
     for r in rows:
         assert r.p50_in_band is True and r.p90_in_band is True, r
+
+
+def test_observed_metrics_ride_the_write(spark, sf_dir, tmp_path):
+    """attach_metrics: counters materialize as a side effect of the
+    one write action — no separate aggregate job — and match an
+    explicit recount."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.quality.observe import (
+        attach_metrics,
+        standard_metrics,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "maybe_null", F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(1)
+    )
+    observed, obs = attach_metrics(
+        orders, standard_metrics(orders, ["maybe_null"])
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "observed_out"))
+    got = obs.get
+    assert got["n_rows"] == orders.count()
+    assert got["n_null_maybe_null"] == orders.filter(
+        F.col("maybe_null").isNull()
+    ).count()
+
+
+def test_observed_metrics_streaming_progress(spark, sf_dir, tmp_path):
+    """The same observe call surfaces per-batch metrics in streaming
+    query progress — counters for every micro-batch, no extra pass."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.quality.observe import attach_metrics
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    src = str(tmp_path / "obs_stream")
+    ev.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    observed, _ = attach_metrics(
+        stream, {"n_rows": F.count(F.lit(1)), "sum_value": F.sum("value")}
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["observedMetrics"]]
+    assert batches, "no observed metrics in any micro-batch"
+    total = sum(p["observedMetrics"]["metrics"]["n_rows"] for p in batches)
+    assert total == ev.count()
