@@ -1,4 +1,8 @@
 from aws_imdb_data_pipeline_spark.quality.profile import dq_profile, dq_union
+from aws_imdb_data_pipeline_spark.quality.observe import (
+    attach_metrics,
+    standard_metrics,
+)
 from aws_imdb_data_pipeline_spark.quality.expectations import (
     ExpectationResult,
     expect_not_null,
@@ -9,6 +13,8 @@ from aws_imdb_data_pipeline_spark.quality.expectations import (
 )
 
 __all__ = [
+    "attach_metrics",
+    "standard_metrics",
     "dq_profile",
     "dq_union",
     "ExpectationResult",
