@@ -39,3 +39,46 @@ def read_imdb_tsv(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
+
+
+def read_imdb_tsv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    quarantine_path: str,
+    null_sentinel: str | None = r"\N",
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Typed TSV read that QUARANTINES malformed rows instead of
+    silently nulling them: rows Spark cannot parse against ``schema``
+    land (raw text + ingest timestamp) in ``quarantine_path`` for
+    inspection/replay, and only clean rows flow on.
+
+    At 100 TB "0.001% of rows went NULL" is millions of silently lost
+    values; the quarantine makes the failure population a first-class
+    dataset. Mechanics: PERMISSIVE mode with a corrupt-record column
+    (the raw line is preserved only for rows that failed), one persist
+    so the split (write bad / return good) is one parse pass — Spark
+    requires the materialization before the corrupt column is
+    queryable on its own.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    aug = StructType(schema.fields[:]).add(corrupt_col, StringType())
+    reader = spark.read.options(
+        sep="\t",
+        header=str(header).lower(),
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+    )
+    if null_sentinel is not None:
+        reader = reader.options(nullValue=null_sentinel)
+    df = reader.schema(aug).csv(path).persist()
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    bad.write.mode("append").parquet(quarantine_path)
+    return df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)

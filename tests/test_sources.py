@@ -189,3 +189,39 @@ def test_lake_schema_evolution_destructive_fails_loudly(spark, tmp_path):
     replace_run_partition(r2, path, ["run_date"])
     with pytest.raises(Exception, match="(?i)merge|incompatible|failed"):
         read_lake(spark, path).collect()
+
+
+def test_tsv_quarantine_splits_malformed_rows(spark, tmp_path):
+    """read_imdb_tsv_with_quarantine: unparseable rows land raw in the
+    quarantine lake; clean rows come back typed and complete."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from aws_imdb_data_pipeline_spark.sources.tsv import (
+        read_imdb_tsv_with_quarantine,
+    )
+
+    src = tmp_path / "raw.tsv"
+    src.write_text(
+        "tconst\tyear\n"
+        "tt1\t1999\n"
+        "tt2\tnot_a_year\n"   # malformed int -> quarantine
+        "tt3\t2005\n"
+        "tt4\t\\N\n"          # sentinel null -> clean, year NULL
+    )
+    schema = StructType(
+        [StructField("tconst", StringType()), StructField("year", IntegerType())]
+    )
+    qdir = str(tmp_path / "quarantine")
+    good = read_imdb_tsv_with_quarantine(spark, str(src), schema, qdir)
+    rows = {r.tconst: r.year for r in good.collect()}
+    assert rows == {"tt1": 1999, "tt3": 2005, "tt4": None}
+    bad = spark.read.parquet(qdir)
+    assert bad.count() == 1
+    raw = bad.collect()[0]
+    assert "not_a_year" in raw.raw_line and raw.quarantined_at is not None
