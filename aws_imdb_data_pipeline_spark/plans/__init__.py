@@ -67,14 +67,15 @@ def _green_history() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = (
+            # hash-green: the strict bar for oracled queries — a
+            # rows-only row (hash_match None) does not count, so a
+            # query whose oracle was added AFTER old rows-only rounds
+            # still front-loads for its first real value check
+            if (
                 row.get("rows_match") is True
                 and row.get("schema_match") is True
-                # hash_match is None for rows-only checks; only an
-                # explicit False (value mismatch) blocks "green".
-                and row.get("hash_match") is not False
-            )
-            if green:
+                and row.get("hash_match") is True
+            ):
                 last_green[name] = max(rnd, last_green.get(name, 0))
     return last_green
 
