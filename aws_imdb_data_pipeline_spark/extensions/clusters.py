@@ -230,18 +230,23 @@ def connected_components_stars(
 
     def _sig(df: DataFrame):
         # one-job cheap fingerprint of the edge set; a signature match
-        # is only a CANDIDATE fixpoint — confirmed by the exact check
-        # double sums: a lossy fingerprint is fine (identical sets always
-        # produce identical signatures; differing sets that collide are
-        # caught by the exact exceptAll check) — and it cannot hit
-        # ANSI-mode long overflow on billion-edge inputs
+        # is only a CANDIDATE fixpoint — confirmed by the exact check.
+        # Combiners must be EXACT and order-independent: Spark's
+        # partial-aggregate merge order is nondeterministic, and FP
+        # sums of ~1e18-magnitude hash terms differ in low bits across
+        # orders, which would make identical sets compare unequal and
+        # convergence never fire. bit_xor is exact/commutative (edges
+        # are distinct, so XOR self-cancellation can't collide two
+        # different multisets of the same parity), and a modular long
+        # sum (terms < 2^31, so billions of edges stay < 2^62) cannot
+        # overflow under ANSI mode. Colliding DIFFERENT sets is still
+        # fine — the exact exceptAll check confirms.
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u").cast("double")).alias("su"),
-            F.sum(F.col("v").cast("double")).alias("sv"),
-            F.sum(F.xxhash64("u", "v").cast("double")).alias("h"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("hx"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31))).alias("hm"),
         ).collect()[0]
-        return (row.n, row.su, row.sv, row.h)
+        return (row.n, row.hx, row.hm)
 
     edges = edges0
     sig = _sig(edges0)

@@ -13,8 +13,21 @@ tiny driver-side codebook):
 
 - train: one seeded KMeans per subspace on a sample (codebooks are
   m×k×(dim/m) floats — a few KB — broadcast as literals).
-- encode: argmin over k per subspace → ``__codes`` array<int>; a
-  one-off pass, persisted next to the embeddings like the IVF list id.
+- encode: argmin over k per subspace → ``__codes`` array<int>, via
+  higher-order functions over a LITERAL codebook array (transform +
+  zip_with/aggregate). HOFs skip whole-stage codegen but keep the
+  expression tree small — the alternative (k·dim unrolled literal
+  exprs) blows the janino method limit and drops the WHOLE projection
+  to interpreted mode with a logged stack trace. Encode is a one-off
+  build pass; trading codegen for a clean bounded plan is the right
+  side of that trade.
+- index artifact: the encoded corpus ``(id, vec, __list, __codes)`` is
+  WRITTEN ONCE, parquet partitioned by ``__list``, with the codebooks
+  + IVF centroids in a sidecar meta.json (:func:`build_pq_index`).
+  Nobody retrains an ANN index per query batch at scale — queries
+  read the artifact (:func:`cosine_topk_ivf_pq_from_index`), and the
+  ``__list`` partitioning turns cell probing into parquet PARTITION
+  PRUNING: a 4/16-cell probe reads 25% of the index files.
 - query (ADC — asymmetric distance computation): per query, ONE
   m×k table of exact subspace distances (m·k·dim/m = dim·k mults);
   after that every candidate costs m ARRAY LOOKUPS + adds instead of
@@ -24,17 +37,14 @@ tiny driver-side codebook):
   approximate ||q−c||² ranks identically to descending cosine; the
   final top-k is optionally REFINED with the exact cosine on raw
   vectors (touches k vectors per query, not the corpus).
-
-Caveat: the ENCODE argmin (k·dim literal-unrolled distance exprs) can
-exceed the whole-stage-codegen method limit, and Spark falls back to
-interpreted evaluation for that one projection (a logged janino
-warning, not an error). Encode is a one-off build pass, so this is
-acceptable; the per-pair ADC expression is small and stays codegen.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.extensions.ivf import build_ivf_assignments
@@ -88,15 +98,26 @@ def train_pq(
     return codebooks
 
 
-def _sq_dist_lit(vec: Column, center: list[float]) -> Column:
-    # unrolled (x - c)^2 sum against a literal centroid — codegen, no HOF
-    terms = [
-        (F.element_at(vec, i + 1) - F.lit(c)) ** 2 for i, c in enumerate(center)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+def _codebook_lit(codebook_j: list[list[float]]) -> Column:
+    # literal array<array<double>> of the k centroids of one subspace
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook_j]
+    )
+
+
+def _subspace_dists(sv: Column, codebook_j: list[list[float]]) -> Column:
+    """array of ||sv - c||² over the k centroids of one subspace —
+    HOF form: small expression tree regardless of k·dim (vs an
+    unrolled-literal form that trips the janino method-size limit and
+    drops the projection to interpreted mode)."""
+    return F.transform(
+        _codebook_lit(codebook_j),
+        lambda c: F.aggregate(
+            F.zip_with(sv, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def pq_encode(
@@ -112,54 +133,113 @@ def pq_encode(
     u = _unit(_to_double(vec_col))
     codes = []
     for j in range(m):
-        sv = F.slice(u, j * sub + 1, sub)
-        dists = F.array(*[_sq_dist_lit(sv, c) for c in codebooks[j]])
+        dists = _subspace_dists(F.slice(u, j * sub + 1, sub), codebooks[j])
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
     return df.withColumn(out_col, F.array(*codes))
 
 
-def cosine_topk_ivf_pq(
-    queries: DataFrame,
+# ---------------------------------------------------------------------------
+# Index artifact: build once, serve many
+# ---------------------------------------------------------------------------
+def build_pq_index(
     candidates: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
-    k: int = 5,
-    n_lists: int = 16,
-    n_probe: int = 4,
+    path: str,
     m: int = 8,
     pq_k: int = 16,
+    n_lists: int = 16,
     seed: int = 42,
-    refine: bool = True,
-    refine_factor: int = 4,
-    round_to: int | None = 4,
+    max_iter: int = 8,
     fit_fraction: float | None = None,
-) -> DataFrame:
-    """IVF-PQ top-k: IVF cells prune the corpus, PQ codes shortlist
-    ``refine_factor``·k survivors per query, exact cosine re-ranks the
-    shortlist down to k (the canonical re-ranking step — PQ's code
-    distance is too coarse to order the final handful, but excellent
-    at discarding the 99% that can't be close; raw vectors are read
-    for only refine_factor·k candidates per query).
-
-    (query_id, neighbor_id, cosine) — cosine is exact when ``refine``
-    (the production setting), else the PQ-approximate 1 − d²/2 of the
-    top-k by code distance alone."""
-    spark = candidates.sparkSession
+    fingerprint: str | None = None,
+) -> dict:
+    """Train + encode ONCE and persist the index as a lake artifact:
+    ``{path}/vectors`` = parquet (id, vec, __list, __codes)
+    partitioned by ``__list`` (probing becomes partition pruning), and
+    ``{path}/meta.json`` = codebooks + IVF centroids + params +
+    an optional source ``fingerprint`` for staleness checks. Returns
+    the meta dict. At 100 TB this is the one corpus-sized pass; every
+    query batch after it reads codes, never raw training state."""
     codebooks = train_pq(
-        candidates, vec_col, dim, m, pq_k, seed, fit_fraction=fit_fraction
+        candidates, vec_col, dim, m, pq_k, seed, max_iter, fit_fraction
     )
     assigned, centers = build_ivf_assignments(
-        candidates, id_col, vec_col, n_lists, seed, fit_fraction=fit_fraction
+        candidates, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
     )
-    cand = pq_encode(assigned, "__arr", codebooks).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__arr").alias("__cv"),
-        "__list",
+    encoded = pq_encode(assigned, "__arr", codebooks).select(
+        F.col(id_col).alias("id"),
+        F.col("__arr").alias("vec"),
         "__codes",
+        "__list",
     )
+    encoded.write.mode("overwrite").partitionBy("__list").parquet(
+        os.path.join(path, "vectors")
+    )
+    assigned.unpersist()
+    meta = {
+        "dim": dim,
+        "m": m,
+        "pq_k": pq_k,
+        "n_lists": n_lists,
+        "seed": seed,
+        "id_col": id_col,
+        "codebooks": codebooks,
+        "centers": centers,
+        "fingerprint": fingerprint,
+    }
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+    return meta
+
+
+def load_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(path, "vectors")), meta
+
+
+def read_pq_index_meta(path: str) -> dict | None:
+    """meta.json if the index at ``path`` exists and is readable
+    (None otherwise) — the staleness probe for ensure-style callers."""
+    try:
+        with open(os.path.join(path, "meta.json")) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _serve(
+    queries: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    centers: list[list[float]],
+    dim: int,
+    k: int,
+    n_probe: int,
+    refine: bool,
+    refine_factor: int,
+    round_to: int | None,
+    prune_lists: bool = False,
+) -> DataFrame:
+    """Shared IVF-PQ serving plan. ``cand`` must carry columns
+    (neighbor_id, __cv raw vec, __list, __codes).
+
+    ``prune_lists=True`` additionally collects the ≤ n_lists DISTINCT
+    probed cell ids (a plan-time decision bounded by the index's list
+    count, not by data size — the same move FAISS makes) and applies
+    them as an ``isin`` filter, so a ``__list``-partitioned parquet
+    index scans only the probed partitions."""
+    spark = cand.sparkSession
+    m = len(codebooks)
+    sub = dim // m
 
     centroids = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], ["__list", "__centroid"]
@@ -182,16 +262,11 @@ def cosine_topk_ivf_pq(
         n=n_probe,
     )
 
-    # stage 2: per-query ADC tables T[j][c] (computed ONCE per query)
-    sub = dim // m
+    # stage 2: per-query ADC tables T[j][c] (computed ONCE per query;
+    # HOF form — tiny per-query cost, bounded expression tree)
     table = F.array(
         *[
-            F.array(
-                *[
-                    _sq_dist_lit(F.slice("__qu", j * sub + 1, sub), c)
-                    for c in codebooks[j]
-                ]
-            )
+            _subspace_dists(F.slice("__qu", j * sub + 1, sub), codebooks[j])
             for j in range(m)
         ]
     )
@@ -199,7 +274,13 @@ def cosine_topk_ivf_pq(
         "query_id", "__qv", "__list", table.alias("__T")
     )
 
+    if prune_lists:
+        probed = probed.persist()
+        lists = [r[0] for r in probed.select("__list").distinct().collect()]
+        cand = cand.filter(F.col("__list").isin(lists))
+
     # stage 3: candidates in probed cells, scored by m lookups each
+    # (element_at chains — small, stays inside whole-stage codegen)
     joined = cand.join(F.broadcast(probed), "__list").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -231,13 +312,115 @@ def cosine_topk_ivf_pq(
         rescored = shortlist.select(
             "query_id", "neighbor_id", cos.alias("cosine")
         )
-        return top_n_per_group(
+        out = top_n_per_group(
             rescored,
             partition_by=["query_id"],
             order_by=[F.desc("cosine"), F.col("neighbor_id")],
             n=k,
         )
-    cos = 1.0 - F.col("__ad") / 2.0
-    if round_to is not None:
-        cos = F.round(cos, round_to)
-    return shortlist.select("query_id", "neighbor_id", cos.alias("cosine"))
+    else:
+        cos = 1.0 - F.col("__ad") / 2.0
+        if round_to is not None:
+            cos = F.round(cos, round_to)
+        out = shortlist.select("query_id", "neighbor_id", cos.alias("cosine"))
+    if prune_lists:
+        probed.unpersist()
+    return out
+
+
+def cosine_topk_ivf_pq_from_index(
+    queries: DataFrame,
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+    refine: bool = True,
+    refine_factor: int = 4,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a :func:`build_pq_index` artifact — no
+    training, no encoding: read codes from the probed ``__list``
+    partitions, ADC-score, exact-cosine re-rank the shortlist."""
+    index_df, meta = load_pq_index(spark, path)
+    cand = index_df.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("__cv"),
+        "__list",
+        "__codes",
+    )
+    return _serve(
+        queries,
+        cand,
+        id_col,
+        vec_col,
+        meta["codebooks"],
+        meta["centers"],
+        meta["dim"],
+        k,
+        n_probe,
+        refine,
+        refine_factor,
+        round_to,
+        prune_lists=True,
+    )
+
+
+def cosine_topk_ivf_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    seed: int = 42,
+    refine: bool = True,
+    refine_factor: int = 4,
+    round_to: int | None = 4,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k with an IN-MEMORY build (train + encode + serve in
+    one call) — the test/verification path; production serves from a
+    persisted :func:`build_pq_index` artifact instead.
+
+    IVF cells prune the corpus, PQ codes shortlist ``refine_factor``·k
+    survivors per query, exact cosine re-ranks the shortlist down to k
+    (the canonical re-ranking step — PQ's code distance is too coarse
+    to order the final handful, but excellent at discarding the 99%
+    that can't be close; raw vectors are read for only
+    refine_factor·k candidates per query).
+
+    (query_id, neighbor_id, cosine) — cosine is exact when ``refine``
+    (the production setting), else the PQ-approximate 1 − d²/2 of the
+    top-k by code distance alone."""
+    codebooks = train_pq(
+        candidates, vec_col, dim, m, pq_k, seed, fit_fraction=fit_fraction
+    )
+    assigned, centers = build_ivf_assignments(
+        candidates, id_col, vec_col, n_lists, seed, fit_fraction=fit_fraction
+    )
+    cand = pq_encode(assigned, "__arr", codebooks).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__arr").alias("__cv"),
+        "__list",
+        "__codes",
+    )
+    return _serve(
+        queries,
+        cand,
+        id_col,
+        vec_col,
+        codebooks,
+        centers,
+        dim,
+        k,
+        n_probe,
+        refine,
+        refine_factor,
+        round_to,
+    )

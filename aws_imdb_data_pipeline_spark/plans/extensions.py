@@ -5,6 +5,8 @@ engine-independent (everything except hash-seeded LSH internals).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -799,21 +801,95 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_INDEX_PARAMS = dict(
+    dim=64, m=8, pq_k=16, n_lists=16, seed=42, fit_fraction=0.25
+)
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """Build-if-missing-or-stale the persisted IVF-PQ index for the
+    embeddings table of ``sf_dir``. Staleness key = source parquet
+    (mtime, size) + index params — a free filesystem check, no data
+    scan. Returns (index_path, rebuilt). The artifact lives under
+    $SPARK_GRAFT_ARTIFACTS (default <repo>/.artifacts), keyed by the
+    sf dir name, and is reused across every query/bench invocation in
+    a round — nobody retrains an ANN index per query batch."""
+    import hashlib
+
+    from aws_imdb_data_pipeline_spark.extensions.pq import (
+        build_pq_index,
+        read_pq_index_meta,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    p = _PQ_INDEX_PARAMS
+    fingerprint = hashlib.sha256(
+        f"{st.st_mtime_ns}:{st.st_size}:{sorted(p.items())}".encode()
+    ).hexdigest()[:16]
+    base = os.environ.get(
+        "SPARK_GRAFT_ARTIFACTS",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".artifacts",
+        ),
+    )
+    path = os.path.join(base, "pq_index", os.path.basename(os.path.normpath(sf_dir)))
+    meta = read_pq_index_meta(path)
+    if meta is not None and meta.get("fingerprint") == fingerprint:
+        return path, False
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_pq_index(
+        emb, "vec_id", "embedding", p["dim"], path,
+        m=p["m"], pq_k=p["pq_k"], n_lists=p["n_lists"], seed=p["seed"],
+        fit_fraction=p["fit_fraction"], fingerprint=fingerprint,
+    )
+    return path, True
+
+
+@register("ann_pq_index_build", oracle=None, operators=("EXT-sim",))
+def ann_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index BUILD step as its own entry (train 8 subspace
+    codebooks + IVF coarse quantizer, encode the corpus, persist
+    (id, vec, __list, __codes) parquet partitioned by __list + a
+    codebook sidecar). Build-if-missing: the one corpus-sized pass is
+    paid once per dataset version; subsequent invocations verify the
+    fingerprint and return the index stats without touching data.
+    Registered BEFORE the serve query so serve always reads a warm
+    artifact. Rows-only: side-effecting build, no SQL equivalent."""
+    path, rebuilt = ensure_pq_index(spark, sf_dir)
+    from aws_imdb_data_pipeline_spark.extensions.pq import load_pq_index
+
+    index_df, meta = load_pq_index(spark, path)
+    return index_df.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("__list").alias("n_lists"),
+        F.lit(meta["m"]).alias("m"),
+        F.lit(meta["pq_k"]).alias("pq_k"),
+        F.lit(rebuilt).alias("rebuilt"),
+    )
+
+
 @register("ann_cosine_topk_ivf_pq", oracle=None, operators=("EXT-sim",))
 def ann_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ approximate top-k — the MEMORY-scale ANN path: 8-byte
-    codes instead of 256-byte raw vectors (32x), ADC lookup scoring
-    (m element_at chains per pair, no per-pair dot product), exact
-    cosine re-rank of an 8k-per-query shortlist. Approximate ->
-    rows-only; recall + twin-retrieval pinned in
-    tests/test_similarity.py."""
-    from aws_imdb_data_pipeline_spark.extensions.pq import cosine_topk_ivf_pq
+    """IVF-PQ approximate top-k SERVED FROM THE PERSISTED INDEX — the
+    MEMORY-scale ANN path: 8-byte codes instead of 256-byte raw
+    vectors (32x), ADC lookup scoring (m element_at chains per pair,
+    no per-pair dot product), exact cosine re-rank of an 8k-per-query
+    shortlist. No training in the query path: codes + codebooks come
+    from the ann_pq_index_build artifact, and probing the 4/16
+    nearest cells prunes the __list-partitioned parquet to 25% of
+    files. Approximate -> rows-only; recall + twin-retrieval pinned
+    in tests/test_similarity.py."""
+    from aws_imdb_data_pipeline_spark.extensions.pq import (
+        cosine_topk_ivf_pq_from_index,
+    )
 
+    path, _ = ensure_pq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf_pq(
-        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
-        dim=64, k=5, n_lists=16, n_probe=4, m=8, pq_k=16,
-        refine_factor=8, fit_fraction=0.25,
+    return cosine_topk_ivf_pq_from_index(
+        emb.filter(F.col("vec_id") < 5), spark, path, "vec_id", "embedding",
+        k=5, n_probe=4, refine_factor=8,
     )
 
 

@@ -57,11 +57,23 @@ def read_imdb_tsv_with_quarantine(
 
     At 100 TB "0.001% of rows went NULL" is millions of silently lost
     values; the quarantine makes the failure population a first-class
-    dataset. Mechanics: PERMISSIVE mode with a corrupt-record column
-    (the raw line is preserved only for rows that failed), one persist
-    so the split (write bad / return good) is one parse pass — Spark
-    requires the materialization before the corrupt column is
-    queryable on its own.
+    dataset.
+
+    Side-effect contract: the quarantine parquet is written EAGERLY
+    (mode=append) inside this call — by the time it returns, the bad
+    rows are on disk; the returned clean frame is lazy as usual.
+
+    Mechanics: PERMISSIVE mode with a corrupt-record column (the raw
+    line is preserved only for rows that failed). The parse is cached
+    for the duration of the quarantine write — Spark refuses a query
+    whose only referenced CSV column is the corrupt-record column
+    unless the frame is cached — then UNPERSISTED before returning:
+    the caller's first action on the clean frame re-parses the file
+    (a second scan), which at scale beats pinning a full parse of the
+    input in executor memory for the application lifetime. A caller
+    that will reuse the clean rows should ``.persist()`` the RETURNED
+    frame — that caches only clean rows (narrower than the raw parse)
+    and the caller owns its lifetime.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -81,4 +93,5 @@ def read_imdb_tsv_with_quarantine(
         F.current_timestamp().alias("quarantined_at"),
     )
     bad.write.mode("append").parquet(quarantine_path)
+    df.unpersist()
     return df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)

@@ -336,3 +336,76 @@ def test_pq_adc_identifies_planted_twin(spark):
     ).collect()
     hits = sum(1 for r in out if r.neighbor_id == r.query_id + 1000)
     assert hits >= 18, hits  # twins share a cell ~always at this noise
+
+
+def test_pq_index_artifact_roundtrip(spark, sf_dir, tmp_path):
+    """build_pq_index -> cosine_topk_ivf_pq_from_index returns exactly
+    what the in-memory path returns for the same params (same seeds,
+    same codebooks -> same shortlist, same refined cosines), and the
+    artifact has the promised layout (__list-partitioned parquet +
+    codebook sidecar)."""
+    import os
+
+    from aws_imdb_data_pipeline_spark.extensions.pq import (
+        build_pq_index,
+        cosine_topk_ivf_pq,
+        cosine_topk_ivf_pq_from_index,
+        load_pq_index,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 5")
+    path = str(tmp_path / "pq")
+    meta = build_pq_index(emb, "vec_id", "embedding", dim=64, path=path,
+                          m=8, pq_k=16, n_lists=16, fingerprint="t1")
+    assert len(meta["codebooks"]) == 8 and len(meta["centers"]) == 16
+    # __list partitioning on disk -> probe becomes partition pruning
+    parts = [d for d in os.listdir(os.path.join(path, "vectors"))
+             if d.startswith("__list=")]
+    assert len(parts) > 1
+
+    served = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk_ivf_pq_from_index(
+            q, spark, path, "vec_id", "embedding", k=5, n_probe=4,
+            refine_factor=8,
+        ).collect()
+    }
+    inmem = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk_ivf_pq(
+            q, emb, "vec_id", "embedding", dim=64, k=5, n_lists=16,
+            n_probe=4, m=8, pq_k=16, refine_factor=8,
+        ).collect()
+    }
+    assert served == inmem
+
+    df, meta2 = load_pq_index(spark, path)
+    assert meta2["fingerprint"] == "t1"
+    assert df.count() == emb.count()
+    assert set(df.columns) == {"id", "vec", "__codes", "__list"}
+
+
+def test_ensure_pq_index_staleness(spark, sf_dir, monkeypatch, tmp_path):
+    """ensure_pq_index builds once, then fingerprint-hits without a
+    rebuild; a changed fingerprint (different params/source) rebuilds."""
+    from aws_imdb_data_pipeline_spark.plans import extensions as ext
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+    p1, rebuilt1 = ext.ensure_pq_index(spark, sf_dir)
+    assert rebuilt1
+    p2, rebuilt2 = ext.ensure_pq_index(spark, sf_dir)
+    assert p1 == p2 and not rebuilt2
+    # corrupt the stored fingerprint -> next ensure rebuilds
+    import json
+    import os
+
+    mp = os.path.join(p1, "meta.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["fingerprint"] = "stale"
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    _, rebuilt3 = ext.ensure_pq_index(spark, sf_dir)
+    assert rebuilt3
