@@ -71,19 +71,69 @@ def apply_changelog(
     seq_cols: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    resolve_by_seq: bool = False,
 ) -> DataFrame:
     """Fold a changelog slice into a snapshot (MERGE INTO on parquet).
 
+    Default mode (``resolve_by_seq=False``) — fast path. PRECONDITION:
+    every changelog row is STRICTLY NEWER (by ``seq_cols``) than the
+    snapshot state of its key — the normal CDC contract where slices
+    are consumed in order, exactly once. Touched keys take their
+    latest changelog row UNCONDITIONALLY, so a replayed or
+    out-of-order slice would silently regress newer snapshot values.
     ``snapshot`` holds current state (schema = changelog minus
-    ``op_col``); the result is the post-merge state: untouched snapshot
-    rows pass through an anti-join (broadcast when the slice is small),
-    touched keys take their latest non-delete changelog row, and keys
-    whose last op is a delete vanish.
+    ``op_col``); untouched rows pass through an anti-join (broadcast
+    when the slice is small), and keys whose last op is a delete
+    vanish.
+
+    ``resolve_by_seq=True`` — replay-safe MERGE. Touched keys are
+    resolved by MAX sequence across snapshot and slice (lexicographic
+    over ``seq_cols``; ties → snapshot wins), so applying a stale or
+    duplicated slice is a no-op for keys the snapshot already has
+    newer state for. Deletes are guarded the same way, which requires
+    TOMBSTONE RETENTION: the returned frame keeps ``op_col`` —
+    deleted keys stay as rows with ``op_col == delete_op`` carrying
+    the deletion's sequence (else a stale slice could resurrect a key
+    deleted later). Feed a ``keep_tombstones=True``
+    :func:`latest_state` (or a previous seq-aware apply) as the
+    snapshot and filter ``op_col != delete_op`` when serving state.
+    A snapshot without ``op_col`` is accepted (rows treated as live
+    upserts) but then carries no delete history to guard with.
+
+    Both modes never shuffle the snapshot: the slice side is
+    collapsed first and every snapshot-side join (semi/anti) is
+    against a broadcast of slice-derived keys, so cost is
+    O(snapshot scan + slice shuffle).
     """
     latest = latest_state(
         changelog, keys, seq_cols, op_col, delete_op, keep_tombstones=True
     )
+    if not resolve_by_seq:
+        touched = latest.select(*keys)
+        kept = snapshot.join(touched, on=keys, how="left_anti")
+        survivors = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+        return kept.unionByName(survivors)
+
+    snap = (
+        snapshot
+        if op_col in snapshot.columns
+        else snapshot.withColumn(op_col, F.lit("U"))
+    )
     touched = latest.select(*keys)
-    kept = snapshot.join(touched, on=keys, how="left_anti")
-    survivors = latest.filter(F.col(op_col) != delete_op).drop(op_col)
-    return kept.unionByName(survivors)
+    # snapshot seq for touched keys only: semi-join against a broadcast
+    # of the slice's keys — output is bounded by the slice key count
+    snap_touched_seq = (
+        snap.join(F.broadcast(touched), on=keys, how="left_semi")
+        .select(*keys, F.struct(*seq_cols).alias("__snap_seq"))
+    )
+    wins = (
+        latest.withColumn("__slice_seq", F.struct(*seq_cols))
+        .join(F.broadcast(snap_touched_seq), on=keys, how="left")
+        .filter(
+            F.col("__snap_seq").isNull()
+            | (F.col("__slice_seq") > F.col("__snap_seq"))
+        )
+        .drop("__slice_seq", "__snap_seq")
+    )
+    kept = snap.join(F.broadcast(wins.select(*keys)), on=keys, how="left_anti")
+    return kept.unionByName(wins)

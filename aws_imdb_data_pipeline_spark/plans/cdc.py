@@ -89,3 +89,29 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = latest_state(old, ["user_id"], ["ts", "event_id"])
     merged = apply_changelog(snapshot, new, ["user_id"], ["ts", "event_id"])
     return _present(merged)
+
+
+@register(
+    "cdc_apply_out_of_order",
+    oracle=_LATEST_STATE_SQL,
+    operators=("L-cdc", "J-anti", "J-semi", "U1", "W1"),
+)
+def cdc_apply_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay safety: MERGE a STALE slice (everything before the
+    split) into the already-complete snapshot with seq-aware
+    resolution — the state must come out unchanged (oracle = the full
+    collapse). The naive fast path would regress every replayed key
+    to its pre-split value; resolve_by_seq compares (ts, event_id)
+    per touched key and keeps the newer snapshot row, with retained
+    delete tombstones guarding against resurrecting users whose
+    final op is the delete. Snapshot side still never shuffles
+    (broadcast semi/anti joins on slice-derived keys)."""
+    ev = _as_changelog(load_table(spark, sf_dir, "events"))
+    snapshot = latest_state(
+        ev, ["user_id"], ["ts", "event_id"], keep_tombstones=True
+    )
+    stale = ev.filter(F.col("ts") < F.lit(_SPLIT).cast("timestamp"))
+    merged = apply_changelog(
+        snapshot, stale, ["user_id"], ["ts", "event_id"], resolve_by_seq=True
+    )
+    return _present(merged.filter(F.col("op") != "D").drop("op"))

@@ -340,3 +340,84 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_table")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# quarantining typed TSV scan (S1 + beyond-ref quarantine, driver-visible)
+# ---------------------------------------------------------------------------
+@register(
+    "tsv_quarantine_stats",
+    # The fixture is DERIVED from nation: rows with n_nationkey % 5 == 0
+    # are written malformed (uncastable n_regionkey), so the oracle can
+    # state the expected split in pure SQL over the nation view.
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE n_nationkey % 5 <> 0) AS BIGINT)
+               AS clean_rows,
+           CAST(COUNT(*) FILTER (WHERE n_nationkey % 5 = 0) AS BIGINT)
+               AS quarantined_rows,
+           CAST(MIN(n_nationkey) FILTER (WHERE n_nationkey % 5 = 0) AS BIGINT)
+               AS min_bad_key
+    FROM nation
+    """,
+    operators=("S1", "Q-quarantine"),
+)
+def tsv_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantining TSV reader end-to-end, driver-visible: a TSV
+    fixture is rendered from the nation table with every 5th key's row
+    malformed (non-numeric n_regionkey — the IMDb raw-zone failure
+    mode the reference silently NULLs, SURVEY §1.2); the reader must
+    route exactly those rows to the quarantine parquet and pass the
+    rest through typed. Returns (clean_rows, quarantined_rows,
+    min_bad_key) where min_bad_key is recovered FROM the quarantined
+    raw lines — proving the bad rows are preserved byte-faithfully,
+    not just counted.
+
+    Fixture generation collects nation (a bounded 25-row-per-SF dim
+    table) to render the file — test scaffolding, not a data path;
+    the reader itself is the distributed component under test."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from aws_imdb_data_pipeline_spark.sources.tsv import (
+        read_imdb_tsv_with_quarantine,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="tsv_quarantine_")
+    tsv_path = os.path.join(work, "nation.tsv")
+    with open(tsv_path, "w") as f:
+        f.write("n_nationkey\tn_name\tn_regionkey\n")
+        for r in rows:
+            region = "NOTANUMBER" if r.n_nationkey % 5 == 0 else str(r.n_regionkey)
+            f.write(f"{r.n_nationkey}\t{r.n_name}\t{region}\n")
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    qdir = os.path.join(work, "quarantine")
+    clean = read_imdb_tsv_with_quarantine(spark, tsv_path, schema, qdir)
+    bad = spark.read.parquet(qdir)
+    clean_stats = clean.agg(
+        F.count(F.lit(1)).cast("bigint").alias("clean_rows")
+    )
+    bad_stats = bad.agg(
+        F.count(F.lit(1)).cast("bigint").alias("quarantined_rows"),
+        F.min(F.split("raw_line", "\t").getItem(0).cast("bigint")).alias(
+            "min_bad_key"
+        ),
+    )
+    return clean_stats.crossJoin(bad_stats)

@@ -63,35 +63,52 @@ def read_imdb_tsv_with_quarantine(
     (mode=append) inside this call — by the time it returns, the bad
     rows are on disk; the returned clean frame is lazy as usual.
 
-    Mechanics: PERMISSIVE mode with a corrupt-record column (the raw
-    line is preserved only for rows that failed). The parse is cached
-    for the duration of the quarantine write — Spark refuses a query
-    whose only referenced CSV column is the corrupt-record column
-    unless the frame is cached — then UNPERSISTED before returning:
-    the caller's first action on the clean frame re-parses the file
-    (a second scan), which at scale beats pinning a full parse of the
-    input in executor memory for the application lifetime. A caller
-    that will reuse the clean rows should ``.persist()`` the RETURNED
-    frame — that caches only clean rows (narrower than the raw parse)
-    and the caller owns its lifetime.
+    Mechanics: the file is scanned as TEXT lines and parsed with the
+    ``from_csv`` EXPRESSION (PERMISSIVE + corrupt-record field), not
+    the CSV datasource. Two reasons, both scale-grade correctness:
+
+    - the CSV datasource evaluates malformedness only over the PARSED
+      columns, and column pruning means a downstream ``count()``
+      parses none — so the set of "clean" rows would depend on which
+      columns a query touches. ``from_csv`` always parses the whole
+      line; clean vs quarantined is a property of the DATA.
+    - the datasource refuses uncached queries that reference only the
+      corrupt-record column, forcing a ``persist`` of the full parse.
+      The text scan has no such restriction: both sides are plain
+      lazy lineages over the same scan, nothing stays pinned in
+      executor memory, and each side re-parses on its own action. A
+      caller reusing the clean rows should ``.persist()`` the
+      RETURNED frame (clean rows only — narrower than the raw parse)
+      and own its lifetime.
+
+    With ``header=True``, lines byte-equal to the canonical header
+    (schema field names tab-joined — the layout this engine writes
+    and IMDb ships) are dropped before parsing, which also handles
+    multi-file globs where every file carries a header.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
     aug = StructType(schema.fields[:]).add(corrupt_col, StringType())
-    reader = spark.read.options(
-        sep="\t",
-        header=str(header).lower(),
-        mode="PERMISSIVE",
-        columnNameOfCorruptRecord=corrupt_col,
-    )
+    options = {"sep": "\t", "mode": "PERMISSIVE",
+               "columnNameOfCorruptRecord": corrupt_col}
     if null_sentinel is not None:
-        reader = reader.options(nullValue=null_sentinel)
-    df = reader.schema(aug).csv(path).persist()
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw_line"),
+        options["nullValue"] = null_sentinel
+
+    lines = spark.read.text(path)
+    if header:
+        header_line = "\t".join(f.name for f in schema.fields)
+        lines = lines.filter(F.col("value") != header_line)
+    parsed = lines.select(
+        "value", F.from_csv("value", aug.simpleString(), options).alias("__r")
+    )
+    bad = parsed.filter(F.col(f"__r.{corrupt_col}").isNotNull()).select(
+        F.col("value").alias("raw_line"),
         F.current_timestamp().alias("quarantined_at"),
     )
     bad.write.mode("append").parquet(quarantine_path)
-    df.unpersist()
-    return df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    return (
+        parsed.filter(F.col(f"__r.{corrupt_col}").isNull())
+        .select("__r.*")
+        .drop(corrupt_col)
+    )

@@ -155,11 +155,23 @@ def dedup_events(
     entry per key only until the watermark passes it, so memory is
     bounded by the duplication window, not the stream's lifetime
     (plain ``dropDuplicates`` on a stream grows state forever).
-    Batch: plain ``dropDuplicates`` (same observable result when all
-    duplicates fall inside the watermark window)."""
+    Batch: earliest-``ts_col`` row per key (row_number, one shuffle) —
+    a DETERMINISTIC representative, unlike ``dropDuplicates`` which
+    keeps an arbitrary row. The two paths agree on KEY SETS always;
+    they agree on non-key payload columns when duplicates share a
+    payload (the redelivery case) or the first-arriving row is also
+    the earliest-timestamped; rows tied on (keys, ts) fall back to an
+    arbitrary-but-single winner."""
     if events.isStreaming:
         df = events
         if watermark is not None:
             df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(keys)
-    return events.dropDuplicates(keys)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

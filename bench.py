@@ -80,11 +80,49 @@ def find_regressions(
     }
 
 
+def find_advisories(
+    times: dict[str, float],
+    prior: dict[str, float],
+    calib: float,
+    prior_calib: float | None,
+    threshold: float = 1.5,
+) -> dict[str, dict[str, float]]:
+    """ADVISORY (not a gate): queries whose CALIB-NORMALIZED time grew
+    >threshold× even though raw time didn't trip the gate — the case a
+    faster host can mask (2× slower code on a 3× faster host passes
+    the raw comparison). Normalized = t / calib_sec. Noisy by nature
+    (calib measures arithmetic throughput, small queries are fixed
+    overhead), hence advisory: recorded in the detail file for a human
+    eye, never WARNed or gated."""
+    if not prior_calib or prior_calib <= 0 or calib <= 0:
+        return {}
+    return {
+        n: {
+            "prev_norm": round(prior[n] / prior_calib, 3),
+            "now_norm": round(t / calib, 3),
+            "prev": prior[n],
+            "now": t,
+        }
+        for n, t in times.items()
+        if n in prior
+        and prior[n] >= 0.2
+        and t <= threshold * prior[n]  # raw gate did not fire
+        and (t / calib) > threshold * (prior[n] / prior_calib)
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    spark = get_spark("bench")
+    # Tail hygiene: the driver parses the stdout tail for the JSON
+    # line; keep executor/stage chatter out of it (console progress
+    # bars interleave with stdout, and log level ERROR silences the
+    # rest — with the HOF-based PQ encode there is no janino fallback
+    # trace left to suppress).
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM + codegen + parquet footer caches
@@ -140,6 +178,7 @@ def main() -> None:
         except (json.JSONDecodeError, OSError):
             prior = {}
     regressions = find_regressions(times, prior, calib, prior_calib)
+    advisories = find_advisories(times, prior, calib, prior_calib)
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -150,6 +189,7 @@ def main() -> None:
                 "calib_sec": calib,
                 "queries": times,
                 "regressions": regressions,
+                "norm_advisories": advisories,
             },
             f,
             indent=2,

@@ -83,3 +83,63 @@ def test_apply_changelog_broadcasts_touched_keys(spark):
     )
     plan = apply_changelog(snapshot, slice_, ["k"], ["seq"])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_apply_changelog_seq_aware_replay_and_out_of_order(spark):
+    """resolve_by_seq: a stale/duplicated slice cannot regress newer
+    state, deletes are guarded by retained tombstones, tie goes to the
+    snapshot, and genuinely newer slice rows still apply."""
+    # snapshot with tombstones: k=1 live@3, k=2 deleted@4, k=3 live@2
+    snapshot = spark.createDataFrame(
+        [(1, 3, "U", "a3"), (2, 4, "D", None), (3, 2, "U", "m2")],
+        "k bigint, seq bigint, op string, v string",
+    )
+    slice_ = _changelog(
+        spark,
+        [
+            (1, 2, "U", "a2"),     # stale update -> ignored
+            (2, 3, "I", "x3"),     # stale insert on deleted key -> no resurrect
+            (3, 2, "U", "tie"),    # tie -> snapshot wins
+            (3, 5, "U", "m5"),     # newer update -> applies
+            (9, 1, "I", "new"),    # fresh key -> applies
+        ],
+    )
+    merged = apply_changelog(
+        snapshot, slice_, ["k"], ["seq"], resolve_by_seq=True
+    )
+    got = {r.k: (r.seq, r.op, r.v) for r in merged.collect()}
+    assert got == {
+        1: (3, "U", "a3"),
+        2: (4, "D", None),   # tombstone retained, not resurrected
+        3: (5, "U", "m5"),
+        9: (1, "I", "new"),
+    }
+    # applying the SAME slice again is a no-op (idempotent replay)
+    again = apply_changelog(
+        merged, slice_, ["k"], ["seq"], resolve_by_seq=True
+    )
+    got2 = {r.k: (r.seq, r.op, r.v) for r in again.collect()}
+    assert got2 == got
+
+
+def test_seq_aware_fold_invariant_overlapping_slices(spark, sf_dir):
+    """Seq-aware fold over OVERLAPPING, out-of-order slices still lands
+    on the one-pass collapse: apply(collapse(A, tombstones), B) ==
+    collapse(A ∪ B) even when B ⊂ earlier data or B duplicates A."""
+    from aws_imdb_data_pipeline_spark.plans.cdc import _as_changelog
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    ev = _as_changelog(load_table(spark, sf_dir, "events"))
+    keys, seq = ["user_id"], ["ts", "event_id"]
+    full = latest_state(ev, keys, seq)
+    want = sorted((r.user_id, r.ts, r.value) for r in full.collect())
+    split = F.lit("2024-03-01").cast("timestamp")
+    old = ev.filter(F.col("ts") < split)
+    # slices arrive newest-first AND the old slice overlaps everything
+    snap = latest_state(ev.filter(F.col("ts") >= split), keys, seq,
+                        keep_tombstones=True)
+    merged = apply_changelog(snap, old, keys, seq, resolve_by_seq=True)
+    merged = apply_changelog(merged, ev, keys, seq, resolve_by_seq=True)
+    state = merged.filter(F.col("op") != "D").drop("op")
+    got = sorted((r.user_id, r.ts, r.value) for r in state.collect())
+    assert got == want
