@@ -314,3 +314,43 @@ def test_runtime_bloom_filter_join_activates(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_partsupp_no_exchange_on_fact_side(spark, sf_dir):
+    """important_stock_bucketed's per-part aggregate must read the
+    bucketed scan's hash(ps_partkey) distribution directly: zero
+    Exchange on ps_partkey anywhere in the plan (the synthesized twin
+    has exactly one), and the scan must report bucketed=true. Also
+    pins the cross-session warm attach: a second ensure call returns
+    the same table without rebuilding."""
+    from aws_imdb_data_pipeline_spark.plans import REGISTRY
+    from aws_imdb_data_pipeline_spark.plans.partsupp import (
+        ensure_partsupp_bucketed,
+    )
+
+    t1 = ensure_partsupp_bucketed(spark, sf_dir)
+    t2 = ensure_partsupp_bucketed(spark, sf_dir)
+    assert t1 == t2
+
+    plan_b = (
+        REGISTRY["important_stock_bucketed"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_b.count("Exchange hashpartitioning(ps_partkey") == 0, plan_b
+    assert "Bucketed: true" in plan_b, plan_b
+
+    plan_s = (
+        REGISTRY["important_stock"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_s.count("Exchange hashpartitioning(ps_partkey") == 1
+
+    rows_b = sorted(
+        (r.ps_partkey, r.stock_value)
+        for r in REGISTRY["important_stock_bucketed"].fn(spark, sf_dir).collect()
+    )
+    rows_s = sorted(
+        (r.ps_partkey, r.stock_value)
+        for r in REGISTRY["important_stock"].fn(spark, sf_dir).collect()
+    )
+    assert rows_b == rows_s
