@@ -37,10 +37,20 @@ def write_partitioned(
     """Hive-partitioned parquet write, optionally compacted to ~1 file
     per partition (reference: glue.py:195-202).
 
-    ``cluster_by`` sorts rows within each output file — the Spark-side
-    equivalent of the reference's warehouse CLUSTER BY
-    (batch.py:194-196): parquet row-group min/max stats on the sorted
-    columns let later scans skip row groups (zone-map pruning).
+    ``cluster_by`` clusters rows on the listed columns — the
+    Spark-side equivalent of the reference's warehouse CLUSTER BY
+    (batch.py:194-196) — at two granularities:
+
+    - WITHIN files always: rows are sorted inside each output file, so
+      parquet row-group min/max stats segment the key and range scans
+      skip row groups (zone-map pruning; layout pinned by
+      tests/test_sources.py, effect measured in SCALE.md §15).
+    - ACROSS files too, when there are no Hive ``partition_cols``: the
+      frame is ``repartitionByRange`` on the cluster key first, so
+      each FILE owns a disjoint key range and a selective scan skips
+      whole files from the footer alone. (With Hive partitions the
+      file layout is owned by the partition columns; clustering then
+      only orders within each partition's file.)
 
     ``bloom_filter_cols`` writes a parquet bloom filter per listed
     column — the point-lookup complement to zone maps: min/max stats
@@ -54,6 +64,8 @@ def write_partitioned(
     filter), so only genuinely high-cardinality chunks pay the bytes."""
     out = df.repartition(*partition_cols) if compact and partition_cols else df
     if cluster_by:
+        if not partition_cols:
+            out = out.repartitionByRange(*cluster_by)
         out = out.sortWithinPartitions(*cluster_by)
     writer = out.write.mode(mode)
     for col in bloom_filter_cols or []:

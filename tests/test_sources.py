@@ -225,3 +225,67 @@ def test_tsv_quarantine_splits_malformed_rows(spark, tmp_path):
     assert bad.count() == 1
     raw = bad.collect()[0]
     assert "not_a_year" in raw.raw_line and raw.quarantined_at is not None
+
+
+def test_cluster_by_zone_map_row_group_stats(spark, tmp_path):
+    """cluster_by must produce parquet files whose row-group min/max
+    stats actually segment the sorted column: for a narrow range
+    predicate, the overlapping row groups are a small fraction of the
+    file (zone-map pruning has something to prune), while the
+    unsorted twin's row groups all span ~the whole domain (nothing
+    prunable). Verified from the parquet FOOTERS via pyarrow — the
+    physical layout contract, not a timing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.sources.lake import write_partitioned
+
+    # shuffled event times over [0, 10M); small row groups so one file
+    # still holds many zones
+    df = (
+        spark.range(2_000_000)
+        .select(F.xxhash64("id").alias("h"), (F.pmod(F.xxhash64("id"), 10_000_000)).alias("ts_s"))
+        .coalesce(1)
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(256 * 1024))
+    try:
+        plain, clustered = str(tmp_path / "plain"), str(tmp_path / "clust")
+        write_partitioned(df, plain, [], mode="overwrite")
+        write_partitioned(df, clustered, [], mode="overwrite", cluster_by=["ts_s"])
+    finally:
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
+
+    def overlap_fraction(path: str, lo: int, hi: int) -> float:
+        files = glob.glob(path + "/*.parquet")
+        assert files
+        total = hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["ts_s"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        assert total >= 8, f"only {total} row groups — file too coarse to test"
+        return hit / total
+
+    lo, hi = 4_000_000, 4_100_000  # 1% of the domain
+    assert overlap_fraction(plain, lo, hi) == 1.0          # every zone spans everything
+    assert overlap_fraction(clustered, lo, hi) <= 0.25     # sorted: few zones overlap
+    # identical content either way
+    n = spark.read.parquet(clustered).filter(
+        (F.col("ts_s") >= lo) & (F.col("ts_s") < hi)
+    ).count()
+    m = spark.read.parquet(plain).filter(
+        (F.col("ts_s") >= lo) & (F.col("ts_s") < hi)
+    ).count()
+    assert n == m > 0
