@@ -44,6 +44,8 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -125,19 +127,58 @@ def pq_encode(
     vec_col: str,
     codebooks: list[list[list[float]]],
     out_col: str = "__codes",
+    impl: str = "pandas",
 ) -> DataFrame:
     """Assign every vector its m sub-codes (argmin centroid per
-    subspace, ties → lowest code). One narrow projection."""
+    subspace, ties → lowest code).
+
+    ``impl="pandas"`` (default): Arrow-batched numpy kernel — the
+    argmin over k centroids per subspace is a (batch × k) matrix
+    expression, exactly the shape where a vectorized Pandas UDF beats
+    SQL expressions. Measured at 200k×64-dim (tools/pq_scale_probe):
+    the SQL forms are either interpreted (HOF: ~490 s build) or a
+    janino-limit codegen fallback (unrolled literals); the numpy
+    kernel does the same pass in a fraction of that (SCALE.md §11).
+    Encode is the corpus-sized build pass, so this is the one PQ
+    stage where Python-with-Arrow is the right tool.
+
+    ``impl="sql"``: pure-JVM higher-order-function form, kept for
+    Arrow-less environments and as the cross-check oracle for the
+    kernel (tests assert identical codes)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    u = _unit(_to_double(vec_col))
-    codes = []
-    for j in range(m):
-        dists = _subspace_dists(F.slice(u, j * sub + 1, sub), codebooks[j])
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return df.withColumn(out_col, F.array(*codes))
+    if impl == "sql":
+        u = _unit(_to_double(vec_col))
+        codes = []
+        for j in range(m):
+            dists = _subspace_dists(F.slice(u, j * sub + 1, sub), codebooks[j])
+            codes.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        return df.withColumn(out_col, F.array(*codes))
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    # (k, sub) centroid matrix per subspace, broadcast via closure
+    cbs = [np.asarray(codebooks[j], dtype=np.float64) for j in range(m)]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _enc(vs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        # L2-normalize with the same scalar formula as the SQL path
+        # (x / sqrt(x·x)) so both impls see identical inputs
+        norms = np.sqrt((x * x).sum(axis=1, keepdims=True))
+        x = x / norms
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            s = x[:, j * sub : (j + 1) * sub]  # (B, sub)
+            diff = s[:, None, :] - cbs[j][None, :, :]  # (B, k, sub)
+            d = (diff * diff).sum(axis=2)  # (B, k)
+            codes[:, j] = d.argmin(axis=1)  # first min == lowest code
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(_to_double(vec_col)))
 
 
 # ---------------------------------------------------------------------------

@@ -409,3 +409,25 @@ def test_ensure_pq_index_staleness(spark, sf_dir, monkeypatch, tmp_path):
         json.dump(m, f)
     _, rebuilt3 = ext.ensure_pq_index(spark, sf_dir)
     assert rebuilt3
+
+
+def test_pq_encode_pandas_matches_sql(spark, sf_dir):
+    """The Arrow/numpy encode kernel (build fast path) must produce
+    EXACTLY the codes of the pure-JVM SQL form — same normalization
+    formula, same argmin tie rule (first/lowest index)."""
+    from aws_imdb_data_pipeline_spark.extensions.pq import pq_encode, train_pq
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, "embedding", 64, 8, 16)
+    a = {
+        r["vec_id"]: list(r["__codes"])
+        for r in pq_encode(emb, "embedding", books, impl="pandas")
+        .select("vec_id", "__codes").collect()
+    }
+    b = {
+        r["vec_id"]: list(r["__codes"])
+        for r in pq_encode(emb, "embedding", books, impl="sql")
+        .select("vec_id", "__codes").collect()
+    }
+    assert a == b

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from aws_imdb_data_pipeline_spark.extensions.pq import (  # noqa: E402
-    _sq_dist_lit,
+    _subspace_dists,
     pq_encode,
     train_pq,
 )
@@ -76,12 +76,7 @@ def main() -> None:
         sub = DIM // M
         table = F.array(
             *[
-                F.array(
-                    *[
-                        _sq_dist_lit(F.slice("__qv", j * sub + 1, sub), c)
-                        for c in books[j]
-                    ]
-                )
+                _subspace_dists(F.slice("__qv", j * sub + 1, sub), books[j])
                 for j in range(M)
             ]
         )
