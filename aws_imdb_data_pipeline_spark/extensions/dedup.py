@@ -199,6 +199,43 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(__id, band, bucket): hash each signature slice to its LSH
+    bucket — the shared banding kernel for batch pair generation
+    (:func:`lsh_candidate_pairs`) and the persisted incremental index
+    (:func:`build_minhash_band_index`). Identical params → identical
+    buckets, which is what lets a new batch probe an old index."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col(sig_col),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -215,25 +252,7 @@ def lsh_candidate_pairs(
     degenerate buckets (e.g. empty-text docs) that would quadratically
     explode — the count is observable via the returned plan's metrics.
     """
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = band_buckets(df, id_col, sig_col, bands, rows_per_band)
     # cap degenerate buckets (boilerplate/empty docs) BEFORE pairing —
     # a b-row bucket yields b^2/2 pairs, so one hot bucket can dominate.
     # Window count shares the (band, bucket) shuffle with the pair join
@@ -306,3 +325,131 @@ def minhash_dedup_pairs(
     pairs = lsh_candidate_pairs(sig, id_col, "__sig", bands, rows_per_band)
     verified = jaccard_on_shingles(pairs, sh, id_col, "__shingles")
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a PERSISTED corpus band index
+# ---------------------------------------------------------------------------
+def build_minhash_band_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    fingerprint: str | None = None,
+) -> dict:
+    """Shingle + sign + band the CORPUS once and persist the
+    (band, bucket, id) index as parquet partitioned by band, with the
+    LSH params in a sidecar meta.json. The production incremental-
+    dedup shape: the corpus is minhashed exactly once per version;
+    each arriving batch probes the index (broadcast of the batch's
+    bands) instead of re-banding 100 TB per batch. Returns meta."""
+    import json as _json
+    import os as _os
+
+    rows_per_band = num_hashes // bands
+    sh = shingle_docs(docs, id_col, text_col, k=k)
+    sig = minhash_signatures(sh, id_col, "__shingles", num_hashes)
+    banded = band_buckets(sig, id_col, "__sig", bands, rows_per_band)
+    banded.select(F.col("__id").alias("id"), "bucket", "band").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(_os.path.join(path, "bands"))
+    meta = {
+        "k": k,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "rows_per_band": rows_per_band,
+        "id_col": id_col,
+        "fingerprint": fingerprint,
+    }
+    tmp = _os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(path, "meta.json"))
+    return meta
+
+
+def read_band_index_meta(path: str) -> dict | None:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, "meta.json")) as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicates of ``new_docs`` AGAINST the indexed corpus:
+    (new_id, corpus_id, jaccard >= threshold).
+
+    The batch side is shingled/signed/banded with the INDEX's params
+    (read from meta.json — parameter drift would silently miss every
+    bucket), then joined to the persisted (band, bucket, id) index
+    with the batch side BROADCAST — a batch is orders of magnitude
+    smaller than the corpus, so the corpus index is never shuffled.
+    Exact-Jaccard verification re-shingles only the corpus docs that
+    appear in candidates (semi-join first), so corpus text is touched
+    for candidates only, never wholesale. Intra-batch duplicates are
+    the existing :func:`minhash_dedup_pairs` over the batch alone —
+    compose both for full coverage.
+
+    ``corpus_docs`` must be the same frame (same ids/text) the index
+    was built from; ids must be unique across batch + corpus."""
+    import os as _os
+
+    spark = new_docs.sparkSession
+    meta = read_band_index_meta(index_path)
+    if meta is None:
+        raise ValueError(f"no band index at {index_path}")
+    sh_new = shingle_docs(new_docs, id_col, text_col, k=meta["k"]).persist()
+    sig_new = minhash_signatures(
+        sh_new, id_col, "__shingles", meta["num_hashes"]
+    )
+    banded_new = band_buckets(
+        sig_new, id_col, "__sig", meta["bands"], meta["rows_per_band"]
+    ).select(F.col("__id").alias("new_id"), "band", "bucket")
+    index = spark.read.parquet(_os.path.join(index_path, "bands"))
+    candidates = (
+        index.join(F.broadcast(banded_new), ["band", "bucket"])
+        .filter(F.col("id") != F.col("new_id"))
+        .select(F.col("new_id"), F.col("id").alias("corpus_id"))
+        .distinct()
+    )
+    # verify on exact shingles: corpus side narrowed to candidate docs
+    cand_corpus = corpus_docs.join(
+        candidates.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_corpus = shingle_docs(cand_corpus, id_col, text_col, k=meta["k"])
+    a = sh_new.select(
+        F.col(id_col).alias("new_id"), F.col("__shingles").alias("sh_a")
+    )
+    b = sh_corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col("__shingles").alias("sh_b")
+    )
+    verified = (
+        candidates.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified

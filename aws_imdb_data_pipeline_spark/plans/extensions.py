@@ -995,3 +995,130 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") > 0)
     )
     return connected_components(pairs).withColumnRenamed("node", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs corpus (exact + band-index near-dup)
+# ---------------------------------------------------------------------------
+# The "newly arrived" batch is a simulated RE-CRAWL: every 7th corpus
+# doc comes back with a fresh id (+100000) and identical text — the
+# dominant real-world incremental-dedup case (the same page fetched
+# again). The corpus is the full documents table. Both sides are
+# deterministic projections of the table, so the oracle can state the
+# expected matches in pure SQL.
+_RECRAWL_PRED = "doc_id % 7 = 0"
+_RECRAWL_SHIFT = 100_000
+
+
+def _recrawl_batch(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.expr(_RECRAWL_PRED)).select(
+        (F.col("doc_id") + _RECRAWL_SHIFT).alias("doc_id"), "text"
+    )
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH batch AS (
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT b.doc_id AS new_doc_id,
+           MIN(c.doc_id) AS corpus_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus_copies
+    FROM batch b JOIN documents c ON b.text = c.text
+    GROUP BY b.doc_id
+    """,
+    operators=("EXT-dedup", "J1", "A1"),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup: which newly-arrived docs already exist
+    in the corpus. The join key is the 64-bit text fingerprint
+    (xxhash64) with an exact-text equality check behind it — at 100 TB
+    the shuffle carries 8-byte hashes, never document bodies, and the
+    full-text comparison runs only on hash-equal pairs (collision
+    safety). In production the corpus hash column persists with the
+    corpus and is never recomputed per batch; here both sides derive
+    from the same table for oracle parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.xxhash64("text").alias("__fp"),
+        F.col("text").alias("__ct"),
+    )
+    batch = _recrawl_batch(docs).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.xxhash64("text").alias("__fp"),
+        F.col("text").alias("__bt"),
+    )
+    return (
+        batch.join(corpus, "__fp")
+        .filter(F.col("__bt") == F.col("__ct"))
+        .groupBy("new_doc_id")
+        .agg(
+            F.min("corpus_doc_id").alias("corpus_doc_id"),
+            F.count(F.lit(1)).alias("n_corpus_copies"),
+        )
+    )
+
+
+def ensure_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing the corpus MinHash band index for the
+    incremental near-dup query (same artifact pattern and staleness
+    key as ensure_pq_index: source parquet (mtime, size) + params)."""
+    import hashlib
+
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        build_minhash_band_index,
+        read_band_index_meta,
+    )
+
+    params = dict(k=3, num_hashes=64, bands=16)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fingerprint = hashlib.sha256(
+        f"{st.st_mtime_ns}:{st.st_size}:{sorted(params.items())}".encode()
+    ).hexdigest()[:16]
+    base = os.environ.get(
+        "SPARK_GRAFT_ARTIFACTS",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".artifacts",
+        ),
+    )
+    path = os.path.join(
+        base, "band_index", os.path.basename(os.path.normpath(sf_dir))
+    )
+    meta = read_band_index_meta(path)
+    if meta is not None and meta.get("fingerprint") == fingerprint:
+        return path
+    corpus = load_table(spark, sf_dir, "documents")
+    build_minhash_band_index(
+        corpus, "doc_id", "text", path, fingerprint=fingerprint, **params
+    )
+    return path
+
+
+@register("dedup_incremental_near", oracle=None, operators=("EXT-dedup",))
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: the new batch probes the PERSISTED corpus
+    band index (built once per corpus version by ensure_band_index) —
+    the batch's (band, bucket) rows are broadcast against the index,
+    the corpus is never re-minhashed and never shuffled, and the
+    exact-Jaccard verify re-shingles only corpus docs that appear in
+    candidates. Every re-crawled doc MUST be found (Jaccard 1.0 with
+    its source — identical shingle sets share every band, so LSH
+    cannot miss them); that floor plus equivalence to the batch path
+    is pinned in tests/test_dedup.py. Hash-family-specific banding ->
+    rows-only."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        incremental_near_dup_pairs,
+    )
+
+    path = ensure_band_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_near_dup_pairs(
+        _recrawl_batch(docs), docs, path, "doc_id", "text", threshold=0.8
+    ).select(
+        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )

@@ -231,3 +231,51 @@ def test_repetition_signals_semantics(spark):
     assert rows[2].top_bigram_frac == 1 / 3
     assert rows[3].dup_bigram_frac is None and rows[3].top_trigram_frac is None
     assert rows[4].dup_bigram_frac == 0.0 and rows[4].dup_trigram_frac is None
+
+
+def test_incremental_near_dup_matches_batch_path(spark, sf_dir, tmp_path):
+    """The persisted-band-index incremental path must find EXACTLY the
+    cross (batch x corpus) pairs the one-shot batch pipeline finds on
+    the union, at the same params — same banding kernel, same
+    verification — and every re-crawled doc must surface at Jaccard
+    1.0 (identical shingle sets share every band: zero false-negative
+    room)."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        build_minhash_band_index,
+        incremental_near_dup_pairs,
+        minhash_dedup_pairs,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "bands")
+    build_minhash_band_index(docs, "doc_id", "text", path, k=3,
+                             num_hashes=64, bands=16)
+    incr = {
+        (r.new_id, r.corpus_id): round(r.jaccard, 6)
+        for r in incremental_near_dup_pairs(
+            batch, docs, path, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    # floor: every re-crawl found at exactly 1.0
+    n_batch = batch.count()
+    recrawl = {(k[0], k[1]): v for k, v in incr.items()
+               if k[0] == k[1] + 100_000}
+    assert len(recrawl) == n_batch
+    assert all(v == 1.0 for v in recrawl.values())
+
+    full = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): round(r.jaccard, 6)
+        for r in minhash_dedup_pairs(
+            docs.unionByName(batch), "doc_id", "text",
+            k=3, num_hashes=64, bands=16, threshold=0.8,
+        ).collect()
+        # keep only cross pairs: one side batch (>=100k), other corpus
+        if (r.id_a >= 100_000) != (r.id_b >= 100_000)
+    }
+    assert incr == full
