@@ -17,7 +17,10 @@ from aws_imdb_data_pipeline_spark.lifecycle.cdc import apply_changelog, latest_s
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
-_SPLIT = "2024-03-01"
+# Mid-span of the events table (all SFs span Jan 2024): both slices
+# must be NON-EMPTY or the merge demo degenerates to a pass-through —
+# round 5 found the prior 2024-03-01 split left the "new" slice empty.
+_SPLIT = "2024-01-15"
 
 # shared oracle body: collapse the whole events changelog to state
 _LATEST_STATE_SQL = """

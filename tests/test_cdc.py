@@ -61,7 +61,7 @@ def test_fold_invariant_any_split(spark, sf_dir):
     ev = _as_changelog(load_table(spark, sf_dir, "events"))
     full = latest_state(ev, ["user_id"], ["ts", "event_id"])
     want = sorted((r.user_id, r.ts, r.value) for r in full.collect())
-    for split in ("2024-02-01", "2024-06-15"):
+    for split in ("2024-01-10", "2024-01-20"):
         old = ev.filter(F.col("ts") < F.lit(split).cast("timestamp"))
         new = ev.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
         snap = latest_state(old, ["user_id"], ["ts", "event_id"])
@@ -133,7 +133,7 @@ def test_seq_aware_fold_invariant_overlapping_slices(spark, sf_dir):
     keys, seq = ["user_id"], ["ts", "event_id"]
     full = latest_state(ev, keys, seq)
     want = sorted((r.user_id, r.ts, r.value) for r in full.collect())
-    split = F.lit("2024-03-01").cast("timestamp")
+    split = F.lit("2024-01-15").cast("timestamp")
     old = ev.filter(F.col("ts") < split)
     # slices arrive newest-first AND the old slice overlaps everything
     snap = latest_state(ev.filter(F.col("ts") >= split), keys, seq,
