@@ -412,7 +412,11 @@ def incremental_near_dup_pairs(
     meta = read_band_index_meta(index_path)
     if meta is None:
         raise ValueError(f"no band index at {index_path}")
-    sh_new = shingle_docs(new_docs, id_col, text_col, k=meta["k"]).persist()
+    # no persist: the batch side is small by contract (that is what
+    # makes broadcast-probing the index correct), so recomputing its
+    # shingles for the verify join is cheaper than pinning a cache the
+    # caller cannot release (the returned frame is lazy)
+    sh_new = shingle_docs(new_docs, id_col, text_col, k=meta["k"])
     sig_new = minhash_signatures(
         sh_new, id_col, "__shingles", meta["num_hashes"]
     )
