@@ -207,3 +207,114 @@ def test_exploded_ngrams_equals_array_form(spark, docs, n):
         ).collect()
     ]
     assert sorted(fast) == sorted(slow)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 6),            # key
+            st.integers(0, 20),           # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 99),           # payload
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cut=st.integers(0, 20),
+    overlap=st.booleans(),
+)
+@SLOW
+def test_cdc_seq_aware_fold_any_slicing(spark, rows, cut, overlap):
+    """resolve_by_seq fold invariant under ARBITRARY slicing: collapse
+    one part into a tombstone snapshot, apply the other part (possibly
+    overlapping, possibly entirely older), and the final live state
+    must equal the one-pass collapse of everything. Duplicate
+    (key, seq) rows are dropped up front — a changelog's sequence is
+    unique per key by construction, and without that contract even the
+    one-pass collapse is ill-defined (row_number ties break on
+    arbitrary payloads)."""
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import (
+        apply_changelog,
+        latest_state,
+    )
+
+    dedup = {(k, s): (k, s, op, v) for (k, s, op, v) in rows}
+    rows = sorted(dedup.values())
+    log = spark.createDataFrame(rows, "k int, seq int, op string, v int")
+    want = sorted(
+        (r.k, r.seq, r.v)
+        for r in latest_state(log, ["k"], ["seq"]).collect()
+    )
+    part_a = log.filter(F.col("seq") >= cut)
+    part_b = log.filter(F.col("seq") < cut) if not overlap else log
+    snap = latest_state(log if overlap else part_a, ["k"], ["seq"],
+                        keep_tombstones=True)
+    merged = apply_changelog(snap, part_b, ["k"], ["seq"],
+                             resolve_by_seq=True) if part_b.count() else snap
+    got = sorted(
+        (r.k, r.seq, r.v)
+        for r in merged.filter(F.col("op") != "D").drop("op").collect()
+    )
+    assert got == want
+
+
+@given(
+    good=st.integers(1, 15),
+    bad_pattern=st.sampled_from(["NOTINT", "1 2 3", ""]),
+    n_bad=st.integers(0, 5),
+)
+@SLOW
+def test_quarantine_reader_conservation(spark, tmp_path_factory, good,
+                                        bad_pattern, n_bad):
+    """Conservation law of the quarantining reader: clean + quarantined
+    == data lines, the quarantined raw lines are byte-identical to the
+    planted malformed ones, and clean rows parse to their typed
+    values — for any mix of malformed shapes (uncastable int, too many
+    columns, blank line content)."""
+    import os
+    import uuid
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from aws_imdb_data_pipeline_spark.sources.tsv import (
+        read_imdb_tsv_with_quarantine,
+    )
+
+    work = str(tmp_path_factory.mktemp("q") / uuid.uuid4().hex)
+    os.makedirs(work)
+    tsv = os.path.join(work, "in.tsv")
+    planted_bad = []
+    with open(tsv, "w") as f:
+        f.write("a\tb\n")
+        for i in range(good):
+            f.write(f"{i}\tok{i}\n")
+        for i in range(n_bad):
+            if bad_pattern == "NOTINT":
+                line = f"NOTINT{i}\tx"
+            elif bad_pattern == "1 2 3":
+                line = f"{i}\tx\textra\tmore"
+            else:
+                line = "\t".join(["", "", ""])
+            planted_bad.append(line)
+            f.write(line + "\n")
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", StringType())]
+    )
+    qdir = os.path.join(work, "quar")
+    clean = read_imdb_tsv_with_quarantine(spark, tsv, schema, qdir)
+    got_clean = {(r.a, r.b) for r in clean.collect()}
+    assert got_clean == {(i, f"ok{i}") for i in range(good)}
+    if n_bad:
+        got_bad = sorted(
+            r.raw_line for r in spark.read.parquet(qdir).collect()
+        )
+        assert got_bad == sorted(planted_bad)
+    else:
+        assert not os.path.exists(qdir) or not [
+            p for p in os.listdir(qdir) if p.endswith(".parquet")
+        ] or spark.read.parquet(qdir).count() == 0
