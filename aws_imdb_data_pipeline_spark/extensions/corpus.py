@@ -464,3 +464,51 @@ def sqrt_temperature_mixture(
     return df.join(F.broadcast(cuts), source_col).filter(
         F.pmod(F.col(key_col), F.lit(n_buckets)) < F.col("__cut")
     ).drop("__cut")
+
+
+def remove_repeated_lines(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4/RefinedWeb-style inter-document boilerplate removal: drop
+    every LINE whose exact text occurs in at least ``min_docs``
+    DISTINCT documents (navigation bars, cookie banners, license
+    footers — the lines that repeat across a crawl), preserving the
+    original order of the surviving lines. Documents whose every line
+    is boilerplate survive with empty text (they are a signal, not a
+    loss — downstream length filters catch them).
+
+    Plan shape: posexplode lines → one countDistinct shuffle keyed on
+    the line → anti-join → re-assemble per doc (sort_array over
+    (pos, line) structs inside the aggregate — per-doc sort, never a
+    global one). At 100 TB, key the count/anti-join on
+    ``xxhash64(line)`` instead of the raw line so the shuffle carries
+    8-byte keys (a 2^-64 collision removes an innocent line — the
+    standard trade); the exact-text form here is what the SQL oracle
+    can reproduce."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    hot = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(hot, "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").fillna(
+        {text_col: ""}
+    )

@@ -506,3 +506,77 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept")
     )
     return kept.join(totals, "source").select("source", "n_total", "n_kept")
+
+
+@register(
+    "corpus_remove_boilerplate",
+    # Multi-line form derived deterministically from documents: line 0
+    # is a per-language header ("LANG: <lang>" — the planted boilerplate
+    # repeating across every same-language doc), the rest are 10-word
+    # chunks of the content (unique at min_docs=5). Removal must strip
+    # exactly the headers and keep every content chunk in order.
+    oracle="""
+    WITH ml AS (
+        SELECT doc_id,
+               'LANG: ' || lang || chr(10) ||
+               array_to_string(
+                   list_transform(
+                       generate_series(
+                           0,
+                           CAST(ceil(len(string_split(text, ' ')) / 10.0)
+                                AS INT) - 1),
+                       i -> array_to_string(
+                           string_split(text, ' ')[i*10+1 : i*10+10], ' ')
+                   ), chr(10)) AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM ml
+    ),
+    hot AS (
+        SELECT line FROM lines GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= 5
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+    FROM lines
+    WHERE line NOT IN (SELECT line FROM hot)
+    GROUP BY doc_id
+    """,
+    operators=("EXT-corpus", "EXT-dedup", "A6", "J-anti"),
+)
+def corpus_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document repeated-line removal (the C4/RefinedWeb
+    boilerplate step, extensions.corpus.remove_repeated_lines): lines
+    occurring in >= 5 distinct docs are dropped, survivor order
+    preserved. The corpus is single-line text, so the query derives a
+    deterministic multi-line form first — a per-language header line
+    (guaranteed cross-document boilerplate) plus 10-word content
+    chunks — and the oracle rebuilds the identical form in SQL."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        remove_repeated_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / 10.0).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    ml = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.array(F.concat(F.lit("LANG: "), F.col("lang"))), chunks
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    cleaned = remove_repeated_lines(ml, "doc_id", "text", min_docs=5)
+    return cleaned.select("doc_id", F.col("text").alias("cleaned_text"))

@@ -1,0 +1,37 @@
+"""Corpus-cleaning operators (extensions.corpus) unit tests."""
+
+from __future__ import annotations
+
+
+def test_remove_repeated_lines_boilerplate(spark):
+    """Lines in >= min_docs distinct docs are dropped wherever they
+    appear; order of survivors is preserved; a doc repeating a line
+    INTERNALLY doesn't cross the distinct-doc threshold; an
+    all-boilerplate doc survives with empty text."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        remove_repeated_lines,
+    )
+
+    header, footer = "COOKIE BANNER", "(c) footer"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header}\nalpha one\nbeta two\n{footer}"),
+            (2, f"{header}\ngamma three\n{footer}"),
+            (3, f"{header}\nself\nself\ndelta four\n{footer}"),
+            (4, f"{header}\n{footer}"),                 # all boilerplate
+            (5, "unique only\nself"),                   # 'self' in 2 docs? no: doc 3 + doc 5 = 2 distinct
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_lines(
+            docs, "doc_id", "text", min_docs=3
+        ).collect()
+    }
+    assert out[1] == "alpha one\nbeta two"
+    assert out[2] == "gamma three"
+    # internal repetition of 'self' is 1 distinct doc (+doc 5 = 2 < 3)
+    assert out[3] == "self\nself\ndelta four"
+    assert out[4] == ""
+    assert out[5] == "unique only\nself"
