@@ -137,3 +137,28 @@ def apply_changelog(
     )
     kept = snap.join(F.broadcast(wins.select(*keys)), on=keys, how="left_anti")
     return kept.unionByName(wins)
+
+
+def compact_tombstones(
+    snapshot: DataFrame,
+    seq_cols: list[str],
+    horizon: list,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Garbage-collect delete tombstones a seq-aware snapshot no longer
+    needs: a tombstone only guards against slices OLDER than itself
+    resurrecting the key (apply_changelog resolve_by_seq), so once the
+    pipeline can bound how stale a replayed slice can be — ``horizon``
+    = the oldest (seq_cols...) any future slice may carry, e.g. the
+    checkpointed low-watermark — every tombstone strictly below it is
+    dead weight and can be dropped. Live rows always pass through.
+
+    One narrow filter, no shuffle; run it opportunistically on the
+    write path after a merge. Keeping it separate from apply_changelog
+    is deliberate: only the caller knows the replay horizon."""
+    if len(horizon) != len(seq_cols):
+        raise ValueError("horizon must match seq_cols arity")
+    hor = F.struct(*[F.lit(v).alias(c) for v, c in zip(horizon, seq_cols)])
+    keep = (F.col(op_col) != delete_op) | (F.struct(*seq_cols) >= hor)
+    return snapshot.filter(keep)

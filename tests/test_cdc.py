@@ -143,3 +143,50 @@ def test_seq_aware_fold_invariant_overlapping_slices(spark, sf_dir):
     state = merged.filter(F.col("op") != "D").drop("op")
     got = sorted((r.user_id, r.ts, r.value) for r in state.collect())
     assert got == want
+
+
+def test_compact_tombstones_gc_and_replay_safety(spark):
+    """Tombstones below the replay horizon are dropped, those at/above
+    it survive, live rows are untouched — and the compacted snapshot
+    still rejects a replayed slice that is NEWER than the horizon."""
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import compact_tombstones
+
+    snap = spark.createDataFrame(
+        [(1, 9, "U", "a"), (2, 3, "D", None), (3, 7, "D", None)],
+        "k bigint, seq bigint, op string, v string",
+    )
+    out = {r.k: r.op for r in
+           compact_tombstones(snap, ["seq"], [5]).collect()}
+    assert out == {1: "U", 3: "D"}  # seq-3 tombstone GC'd, seq-7 kept
+    # a replay at seq 6 (>= horizon 5) on key 3 must still be blocked
+    compacted = compact_tombstones(snap, ["seq"], [5])
+    stale = _changelog(spark, [(3, 6, "I", "zombie")])
+    merged = apply_changelog(compacted, stale, ["k"], ["seq"],
+                             resolve_by_seq=True)
+    rows = {r.k: (r.seq, r.op) for r in merged.collect()}
+    assert rows[3] == (7, "D")  # tombstone newer than replay -> wins
+
+
+def test_incremental_band_index_join_is_broadcast(spark, sf_dir, tmp_path):
+    """The incremental near-dup plan must broadcast the BATCH side
+    against the corpus band index (never shuffle the index) — the plan
+    shape the 100 TB claim rests on."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        build_minhash_band_index,
+        incremental_near_dup_pairs,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "bands")
+    build_minhash_band_index(docs, "doc_id", "text", path)
+    plan = (
+        incremental_near_dup_pairs(batch, docs, path, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
