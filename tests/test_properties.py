@@ -318,3 +318,45 @@ def test_quarantine_reader_conservation(spark, tmp_path_factory, good,
         assert not os.path.exists(qdir) or not [
             p for p in os.listdir(qdir) if p.endswith(".parquet")
         ] or spark.read.parquet(qdir).count() == 0
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["header", "footer", "a", "bb", "ccc", ""]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_docs=st.integers(2, 4),
+)
+@SLOW
+def test_remove_repeated_lines_matches_python_reference(spark, docs, min_docs):
+    """Random multi-line docs vs a direct Python model: lines in >=
+    min_docs distinct docs are dropped everywhere, survivor order is
+    preserved, fully-boilerplate docs come back empty."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        remove_repeated_lines,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    hot = {
+        line
+        for line in {ln for lines in docs for ln in lines}
+        if sum(1 for lines in docs if line in lines) >= min_docs
+    }
+    want = {
+        i: "\n".join(ln for ln in lines if ln not in hot)
+        for i, lines in enumerate(docs)
+    }
+    got = {
+        r.doc_id: r.text
+        for r in remove_repeated_lines(
+            df, "doc_id", "text", min_docs=min_docs
+        ).collect()
+    }
+    assert got == want
