@@ -498,3 +498,73 @@ def embedding_near_dup_pairs_lsh(
     return scored.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means cells bound the pairwise cosine scan (per-cell quadratic,
+    never corpus-quadratic — the SemDeDup move), pairs at or above
+    ``threshold`` form duplicate groups via connected components, and
+    the MIN id per group survives.
+
+    Returns (id, component, is_survivor): ``component`` is the
+    duplicate-group label (its min id; singletons label themselves),
+    survivors are one row per group. Known and accepted recall trade:
+    a near-dup pair split across two cells is missed — cell count
+    should grow with corpus size (keeping per-cell populations
+    bounded), and SemDeDup's published results accept the same
+    cell-boundary misses; the LSH paths are the recall-oriented
+    alternative when misses matter.
+
+    Plan: one assignment pass (persisted by build_ivf_assignments),
+    a per-cell self-join (shuffle on the small int cell id), cosine in
+    whole-stage codegen, then min-label CC over the duplicate pairs —
+    dedup graphs are near-cliques, so label propagation converges in
+    2-3 rounds (SCALE.md §8)."""
+    from aws_imdb_data_pipeline_spark.extensions.clusters import (
+        connected_components,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        build_ivf_assignments,
+    )
+
+    assigned, _ = build_ivf_assignments(
+        embeddings, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("__arr").alias("__va"), "__list"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("__arr").alias("__vb"), "__list"
+    )
+    na = F.sqrt(_dot(F.col("__va"), F.col("__va")))
+    nb = F.sqrt(_dot(F.col("__vb"), F.col("__vb")))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (na * nb)
+    pairs = (
+        a.join(b, "__list")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(pairs)
+    out = (
+        embeddings.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .withColumn("is_survivor", F.col("id") == F.col("component"))
+    )
+    assigned.unpersist()
+    return out

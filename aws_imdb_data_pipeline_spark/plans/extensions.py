@@ -1122,3 +1122,23 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+@register("semantic_dedup_survivors", oracle=None, operators=("EXT-dedup", "EXT-sim"))
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (extensions.similarity.semantic_dedup): k-means cells bound the
+    pairwise cosine scan, >= 0.8 pairs form groups via connected
+    components, min id per group survives. k-means cell assignment is
+    engine-specific -> rows-only; group/survivor invariants are pinned
+    in tests/test_similarity.py (planted twins collapse to one
+    survivor, survivor determinism, component = min of its members)."""
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.8, n_lists=16,
+        fit_fraction=0.25,
+    ).orderBy("id")

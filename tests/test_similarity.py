@@ -431,3 +431,48 @@ def test_pq_encode_pandas_matches_sql(spark, sf_dir):
         .select("vec_id", "__codes").collect()
     }
     assert a == b
+
+
+def test_semantic_dedup_planted_twins(spark):
+    """Planted near-copies collapse to one survivor per group (the min
+    id), singletons survive labeled by themselves, components equal
+    the min of their members, and the result is deterministic."""
+    import random
+
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(150):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        rows.append((i + 1000, [x + rng.gauss(0, 0.005) for x in v]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(
+        vecs, "vec_id", "embedding", threshold=0.98, n_lists=4
+    )
+    by_id = {r.id: (r.component, r.is_survivor) for r in out.collect()}
+    assert len(by_id) == 300
+    # most twins share a cell and collapse: expect >= 90% of pairs
+    collapsed = sum(
+        1 for i in range(150)
+        if by_id[i + 1000][0] == i and by_id[i][1] and not by_id[i + 1000][1]
+    )
+    assert collapsed >= 135, collapsed
+    # survivor invariants hold for every group
+    comps = {}
+    for id_, (comp, surv) in by_id.items():
+        comps.setdefault(comp, []).append((id_, surv))
+    for comp, members in comps.items():
+        assert comp == min(m for m, _ in members)
+        assert sum(1 for _, s in members if s) == 1
+    # determinism
+    again = {
+        r.id: (r.component, r.is_survivor)
+        for r in semantic_dedup(
+            vecs, "vec_id", "embedding", threshold=0.98, n_lists=4
+        ).collect()
+    }
+    assert again == by_id
