@@ -568,3 +568,43 @@ def semantic_dedup(
     )
     assigned.unpersist()
     return out
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cap_per_cell: int,
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """Topic-balanced subsampling: cap every k-means cell at
+    ``cap_per_cell`` rows so over-represented regions of embedding
+    space (boilerplate topics, crawl duplicates' neighborhoods) can't
+    dominate the training mix — the cluster-proportional curation step
+    that pairs with :func:`semantic_dedup`.
+
+    Survivors are deterministic: rank within a cell by
+    ``xxhash64(id)`` (a seeded pseudo-random but reproducible order —
+    NOT ``rand()``, whose sample would change with partitioning), keep
+    the first ``cap_per_cell``. Returns (id, __list) for the kept
+    rows. One window shuffle on the cell id; WindowGroupLimit pushes
+    the cap below the sort at scale."""
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        build_ivf_assignments,
+    )
+    from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+
+    assigned, _ = build_ivf_assignments(
+        embeddings, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
+    )
+    kept = top_n_per_group(
+        assigned.select(F.col(id_col).alias("id"), "__list"),
+        partition_by=["__list"],
+        order_by=[F.xxhash64(F.col("id"), F.lit(seed)), F.col("id")],
+        n=cap_per_cell,
+    )
+    assigned.unpersist()
+    return kept

@@ -1142,3 +1142,37 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.8, n_lists=16,
         fit_fraction=0.25,
     ).orderBy("id")
+
+
+@register("cluster_balanced_sample", oracle=None, operators=("EXT-corpus", "EXT-sim", "W1"))
+def cluster_balanced_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced subsampling (extensions.similarity.
+    cluster_balanced_sample): every k-means cell capped at 20 vectors,
+    deterministic hash-ranked survivors. Returns per-cell before/after
+    counts. k-means cells are engine-specific -> rows-only; cap and
+    determinism invariants pinned in tests/test_similarity.py."""
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        build_ivf_assignments,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = cluster_balanced_sample(
+        emb, "vec_id", "embedding", cap_per_cell=20, n_lists=16,
+        fit_fraction=0.25,
+    )
+    assigned, _ = build_ivf_assignments(
+        emb, "vec_id", "embedding", 16, 42, fit_fraction=0.25
+    )
+    before = assigned.groupBy("__list").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = kept.groupBy("__list").agg(F.count(F.lit(1)).alias("n_after"))
+    assigned.unpersist()
+    return (
+        before.join(after, "__list")
+        .select(F.col("__list").alias("cell"), "n_before", "n_after")
+        .orderBy("cell")
+    )

@@ -476,3 +476,43 @@ def test_semantic_dedup_planted_twins(spark):
         ).collect()
     }
     assert again == by_id
+
+
+def test_cluster_balanced_sample_cap_and_determinism(spark, sf_dir):
+    """Every cell is capped (n_after == min(n_before, cap)), kept ids
+    are a subset of the cell's members, and the sample is identical
+    across runs (hash-ranked, not rand())."""
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        build_ivf_assignments,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        cluster_balanced_sample,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cap = 15
+    kept1 = {
+        (r["id"], r["__list"])
+        for r in cluster_balanced_sample(
+            emb, "vec_id", "embedding", cap, n_lists=8
+        ).collect()
+    }
+    kept2 = {
+        (r["id"], r["__list"])
+        for r in cluster_balanced_sample(
+            emb, "vec_id", "embedding", cap, n_lists=8
+        ).collect()
+    }
+    assert kept1 == kept2
+    assigned, _ = build_ivf_assignments(emb, "vec_id", "embedding", 8, 42)
+    cells = {}
+    for r in assigned.collect():
+        cells.setdefault(r["__list"], set()).add(r["vec_id"])
+    assigned.unpersist()
+    per_cell = {}
+    for id_, cell in kept1:
+        per_cell.setdefault(cell, set()).add(id_)
+        assert id_ in cells[cell]
+    for cell, members in cells.items():
+        assert len(per_cell.get(cell, set())) == min(len(members), cap)
