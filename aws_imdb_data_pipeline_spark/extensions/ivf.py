@@ -76,6 +76,63 @@ def build_ivf_assignments(
     return assigned, centers
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_fraction: float | None = None,
+) -> dict:
+    """Fit the coarse quantizer ONCE and persist the assignment table as
+    a lake artifact: ``{path}/vectors`` = parquet (id, vec, __list)
+    PARTITIONED BY ``__list`` — probing n cells becomes parquet
+    partition pruning, exactly like the PQ index. Returns the meta dict
+    (centers + params) for the caller's marker; the 100 TB shape is one
+    assignment pass per corpus version, after which every consumer
+    (semantic dedup, balanced sampling, cluster profiling, IVF ANN)
+    reads cells instead of refitting k-means in its own query path."""
+    import os as _os
+
+    assigned, centers = build_ivf_assignments(
+        vectors, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
+    )
+    assigned.select(
+        F.col(id_col).alias("id"), F.col("__arr").alias("vec"), "__list"
+    ).write.mode("overwrite").partitionBy("__list").parquet(
+        _os.path.join(path, "vectors")
+    )
+    assigned.unpersist()
+    return {
+        "centers": centers,
+        "n_lists": n_lists,
+        "seed": seed,
+        "max_iter": max_iter,
+        "fit_fraction": fit_fraction,
+        "id_col": id_col,
+    }
+
+
+def load_ivf_index(
+    spark, path: str, id_col: str = "id"
+) -> DataFrame:
+    """The persisted assignment table as (``id_col``, __arr, __list) —
+    the same shape :func:`build_ivf_assignments` returns, so every
+    consumer accepts either interchangeably."""
+    import os as _os
+
+    return (
+        spark.read.parquet(_os.path.join(path, "vectors"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("vec").alias("__arr"),
+            "__list",
+        )
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     candidates: DataFrame,
@@ -88,12 +145,22 @@ def cosine_topk_ivf(
     round_to: int | None = 4,
     max_iter: int = 8,
     fit_fraction: float | None = None,
+    assignments: DataFrame | None = None,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-approximate cosine top-k: (query_id, neighbor_id, cosine)."""
+    """IVF-approximate cosine top-k: (query_id, neighbor_id, cosine).
+
+    With ``assignments``/``centers`` provided (a persisted
+    :func:`build_ivf_index` artifact), the quantizer is fit ZERO times:
+    the query path only ranks centroids and scans the probed cells —
+    training never belongs in a serve path at scale."""
     spark = candidates.sparkSession
-    assigned, centers = build_ivf_assignments(
-        candidates, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
-    )
+    if assignments is not None and centers is not None:
+        assigned = assignments
+    else:
+        assigned, centers = build_ivf_assignments(
+            candidates, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
+        )
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__arr").alias("__cv"),

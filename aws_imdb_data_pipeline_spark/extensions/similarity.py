@@ -509,6 +509,7 @@ def semantic_dedup(
     seed: int = 42,
     max_iter: int = 8,
     fit_fraction: float | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     k-means cells bound the pairwise cosine scan (per-cell quadratic,
@@ -529,7 +530,12 @@ def semantic_dedup(
     a per-cell self-join (shuffle on the small int cell id), cosine in
     whole-stage codegen, then min-label CC over the duplicate pairs —
     dedup graphs are near-cliques, so label propagation converges in
-    2-3 rounds (SCALE.md §8)."""
+    2-3 rounds (SCALE.md §8).
+
+    ``assignments`` (a :func:`~aws_imdb_data_pipeline_spark.extensions
+    .ivf.build_ivf_index` artifact as (id_col, __arr, __list)) skips
+    the in-call fit entirely — the production shape: assign once per
+    corpus version, every curation consumer reads cells."""
     from aws_imdb_data_pipeline_spark.extensions.clusters import (
         connected_components,
     )
@@ -537,9 +543,13 @@ def semantic_dedup(
         build_ivf_assignments,
     )
 
-    assigned, _ = build_ivf_assignments(
-        embeddings, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
-    )
+    owns_cache = assignments is None
+    if owns_cache:
+        assigned, _ = build_ivf_assignments(
+            embeddings, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
+        )
+    else:
+        assigned = assignments
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col("__arr").alias("__va"), "__list"
     )
@@ -566,8 +576,27 @@ def semantic_dedup(
         )
         .withColumn("is_survivor", F.col("id") == F.col("component"))
     )
-    assigned.unpersist()
+    if owns_cache:
+        assigned.unpersist()
     return out
+
+
+def cell_hash_ranks(
+    assignments: DataFrame, id_col: str, seed: int = 42
+) -> DataFrame:
+    """Deterministic within-cell rank: row_number over
+    (xxhash64(id, seed), id) per ``__list`` cell — the one ranking both
+    the balanced sampler and its before/after accounting share, so one
+    window pass answers both (and a rank filter still plans as
+    WindowGroupLimit). Returns (id_col, __list, __rn)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__list").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col)
+    )
+    return assignments.select(
+        id_col, "__list", F.row_number().over(w).alias("__rn")
+    )
 
 
 def cluster_balanced_sample(
@@ -579,6 +608,7 @@ def cluster_balanced_sample(
     seed: int = 42,
     max_iter: int = 8,
     fit_fraction: float | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Topic-balanced subsampling: cap every k-means cell at
     ``cap_per_cell`` rows so over-represented regions of embedding
@@ -591,20 +621,29 @@ def cluster_balanced_sample(
     NOT ``rand()``, whose sample would change with partitioning), keep
     the first ``cap_per_cell``. Returns (id, __list) for the kept
     rows. One window shuffle on the cell id; WindowGroupLimit pushes
-    the cap below the sort at scale."""
+    the cap below the sort at scale.
+
+    ``assignments`` (a persisted ``build_ivf_index`` artifact as
+    (id_col, __arr, __list)) skips the in-call fit — zero k-means in
+    the query path, the same artifact every curation consumer shares."""
     from aws_imdb_data_pipeline_spark.extensions.ivf import (
         build_ivf_assignments,
     )
-    from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
 
-    assigned, _ = build_ivf_assignments(
-        embeddings, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
+    owns_cache = assignments is None
+    if owns_cache:
+        assigned, _ = build_ivf_assignments(
+            embeddings, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
+        )
+    else:
+        assigned = assignments
+    kept = (
+        cell_hash_ranks(
+            assigned.select(F.col(id_col).alias("id"), "__list"), "id", seed
+        )
+        .filter(F.col("__rn") <= cap_per_cell)
+        .drop("__rn")
     )
-    kept = top_n_per_group(
-        assigned.select(F.col(id_col).alias("id"), "__list"),
-        partition_by=["__list"],
-        order_by=[F.xxhash64(F.col("id"), F.lit(seed)), F.col("id")],
-        n=cap_per_cell,
-    )
-    assigned.unpersist()
+    if owns_cache:
+        assigned.unpersist()
     return kept

@@ -354,29 +354,40 @@ def ensure_partsupp_bucketed(
     the grouping keys satisfies the aggregate's clustering — so those
     exchanges disappear: the write-time shuffle is paid once, every
     repeat query runs map-side (sources/bucketed.py rationale)."""
-    import hashlib
+    import shutil
 
-    st = os.stat(os.path.join(sf_dir, "part.parquet"))
-    fp = hashlib.sha256(
-        f"{st.st_mtime_ns}:{st.st_size}:{num_buckets}".encode()
-    ).hexdigest()[:12]
+    from aws_imdb_data_pipeline_spark.lifecycle.artifacts import (
+        source_fingerprint,
+    )
+
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "part.parquet"), {"num_buckets": num_buckets}
+    )[:12]
     table = f"partsupp_b_{fp}"
     if spark.catalog.tableExists(table):
         return table
-    for t in spark.catalog.listTables():
-        if t.name.startswith("partsupp_b_") and t.name != table:
-            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-    ps = synth_partsupp(spark, sf_dir)
-    # The session catalog is in-memory but the warehouse directory
-    # persists across sessions: if a previous session already wrote
-    # this fingerprint's files, re-ATTACH them with bucket-spec DDL
-    # (bucketing metadata lives in the catalog, not the files) instead
-    # of rebuilding — warm start for every later session.
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
+    # GC stale fingerprints: drop the catalog entries AND their files
+    # (these are attach-by-LOCATION tables, so DROP alone leaves data).
+    for t in spark.catalog.listTables():
+        if t.name.startswith("partsupp_b_") and t.name != table:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    for name in os.listdir(warehouse) if os.path.isdir(warehouse) else []:
+        if name.startswith("partsupp_b_") and name != table:
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    ps = synth_partsupp(spark, sf_dir)
+    # The session catalog is in-memory but the warehouse directory
+    # persists across sessions: if a previous session already wrote
+    # this fingerprint's files TO COMPLETION (the _BUCKETED_OK marker
+    # is written only after the bucketed write returns — a crashed
+    # partial write leaves no marker and is rebuilt, never attached),
+    # re-ATTACH them with bucket-spec DDL (bucketing metadata lives in
+    # the catalog, not the files) — warm start for every later session.
     loc = os.path.join(warehouse, table)
-    if os.path.isdir(loc):
+    marker = os.path.join(loc, "_BUCKETED_OK")
+    if os.path.isfile(marker):
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in ps.schema.fields
         )
@@ -386,11 +397,15 @@ def ensure_partsupp_bucketed(
             f"INTO {num_buckets} BUCKETS LOCATION '{loc}'"
         )
         return table
+    if os.path.isdir(loc):  # partial previous write: rebuild from scratch
+        shutil.rmtree(loc, ignore_errors=True)
     from aws_imdb_data_pipeline_spark.sources.bucketed import (
         write_bucketed_table,
     )
 
     write_bucketed_table(ps, table, "ps_partkey", num_buckets)
+    with open(marker, "w") as f:
+        f.write(fp)
     return table
 
 

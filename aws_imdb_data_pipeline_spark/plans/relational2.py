@@ -433,36 +433,26 @@ def ensure_clustered_events(spark: SparkSession, sf_dir: str) -> str:
     indexes. At 100 TB this is the one-off layout job that turns every
     later time-range scan into footer-level file pruning (measured
     2/32 files @ 1% selectivity, SCALE.md §15)."""
-    import hashlib
-
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    fingerprint = hashlib.sha256(
-        f"{st.st_mtime_ns}:{st.st_size}:cluster_by=ts".encode()
-    ).hexdigest()[:16]
-    base = os.environ.get(
-        "SPARK_GRAFT_ARTIFACTS",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            ".artifacts",
-        ),
+    from aws_imdb_data_pipeline_spark.lifecycle.artifacts import (
+        ensure_artifact,
     )
-    path = os.path.join(
-        base, "events_clustered", os.path.basename(os.path.normpath(sf_dir))
-    )
-    marker = os.path.join(path, "_FINGERPRINT")
-    try:
-        with open(marker) as f:
-            if f.read().strip() == fingerprint:
-                return path
-    except OSError:
-        pass
-    from aws_imdb_data_pipeline_spark.sources.lake import write_partitioned
 
-    events = load_table(spark, sf_dir, "events")
-    write_partitioned(events, path, [], mode="overwrite", cluster_by=["ts"])
-    with open(marker, "w") as f:
-        f.write(fingerprint)
+    def build(path: str, fp: str) -> dict:
+        from aws_imdb_data_pipeline_spark.sources.lake import (
+            write_partitioned,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        write_partitioned(
+            events, path, [], mode="overwrite", cluster_by=["ts"]
+        )
+        return {}
+
+    path, _, _ = ensure_artifact(
+        "events_clustered", sf_dir,
+        os.path.join(sf_dir, "events.parquet"),
+        {"cluster_by": "ts"}, build,
+    )
     return path
 
 
