@@ -472,6 +472,7 @@ def remove_repeated_lines(
     text_col: str,
     min_docs: int = 2,
     sep: str = "\n",
+    key_on_hash: bool = False,
 ) -> DataFrame:
     """C4/RefinedWeb-style inter-document boilerplate removal: drop
     every LINE whose exact text occurs in at least ``min_docs``
@@ -481,25 +482,37 @@ def remove_repeated_lines(
     is boilerplate survive with empty text (they are a signal, not a
     loss — downstream length filters catch them).
 
+    ``sep`` is a LITERAL separator (regex-escaped before F.split —
+    passing '.' or '|' splits on the character, not on every
+    position).
+
     Plan shape: posexplode lines → one countDistinct shuffle keyed on
     the line → anti-join → re-assemble per doc (sort_array over
     (pos, line) structs inside the aggregate — per-doc sort, never a
-    global one). At 100 TB, key the count/anti-join on
-    ``xxhash64(line)`` instead of the raw line so the shuffle carries
-    8-byte keys (a 2^-64 collision removes an innocent line — the
-    standard trade); the exact-text form here is what the SQL oracle
-    can reproduce."""
+    global one). ``key_on_hash=True`` is the 100 TB form: the
+    count/anti-join shuffle carries ``xxhash64(line)`` 8-byte keys
+    instead of raw line text (a 2^-64 collision removes an innocent
+    line — the standard trade; equivalence on real corpora is
+    property-tested). The exact-text default is what the SQL oracle
+    reproduces."""
+    import re as _re
+
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("__pos", "__line"),
     )
+    key = F.xxhash64("__line") if key_on_hash else F.col("__line")
     hot = (
-        lines.groupBy("__line")
+        lines.groupBy(key.alias("__key"))
         .agg(F.countDistinct(id_col).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
-        .select("__line")
+        .select("__key")
     )
-    kept = lines.join(hot, "__line", "left_anti")
+    kept = lines.withColumn("__key", key).join(
+        hot, "__key", "left_anti"
+    ).drop("__key")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -316,7 +316,14 @@ def _serve(
     )
 
     if prune_lists:
-        probed = probed.persist()
+        # Plan-time decision, bounded by the index's list count (the
+        # same move FAISS makes): collect the ≤ n_lists distinct probed
+        # cell ids and filter the __list-partitioned scan with them. No
+        # persist around the collect — the probe stage re-derives
+        # deterministically (the __list tiebreaker makes its top-n
+        # total-ordered) when the returned lazy frame executes, and a
+        # cache that only serviced this one bounded collect was dead
+        # weight the caller could never release.
         lists = [r[0] for r in probed.select("__list").distinct().collect()]
         cand = cand.filter(F.col("__list").isin(lists))
 
@@ -364,8 +371,6 @@ def _serve(
         if round_to is not None:
             cos = F.round(cos, round_to)
         out = shortlist.select("query_id", "neighbor_id", cos.alias("cosine"))
-    if prune_lists:
-        probed.unpersist()
     return out
 
 

@@ -1050,18 +1050,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental dedup: new batch vs corpus (exact + band-index near-dup)
 # ---------------------------------------------------------------------------
 # The "newly arrived" batch is a simulated RE-CRAWL: every 7th corpus
-# doc comes back with a fresh id (+100000) and identical text — the
-# dominant real-world incremental-dedup case (the same page fetched
-# again). The corpus is the full documents table. Both sides are
-# deterministic projections of the table, so the oracle can state the
-# expected matches in pure SQL.
+# doc comes back with a fresh id and identical text — the dominant
+# real-world incremental-dedup case (the same page fetched again). The
+# corpus is the full documents table. Both sides are deterministic
+# projections of the table, so the oracle can state the expected
+# matches in pure SQL. The id shift is DATA-DERIVED (max(doc_id) + 1,
+# a one-row broadcast, the same scalar subquery in the oracle) so the
+# batch/corpus id namespaces stay disjoint at ANY scale factor — a
+# fixed constant silently collided once doc_id outgrew it, and the
+# incremental-dedup contract ("ids unique across batch + corpus")
+# would have dropped genuine matches via its id != new_id filter.
 _RECRAWL_PRED = "doc_id % 7 = 0"
-_RECRAWL_SHIFT = 100_000
 
 
 def _recrawl_batch(docs: DataFrame) -> DataFrame:
-    return docs.filter(F.expr(_RECRAWL_PRED)).select(
-        (F.col("doc_id") + _RECRAWL_SHIFT).alias("doc_id"), "text"
+    shift = docs.agg((F.max("doc_id") + 1).alias("__shift"))
+    return (
+        docs.filter(F.expr(_RECRAWL_PRED))
+        .crossJoin(F.broadcast(shift))
+        .select((F.col("doc_id") + F.col("__shift")).alias("doc_id"), "text")
     )
 
 
@@ -1069,7 +1076,8 @@ def _recrawl_batch(docs: DataFrame) -> DataFrame:
     "dedup_incremental_exact",
     oracle="""
     WITH batch AS (
-        SELECT doc_id + 100000 AS doc_id, text
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+               text
         FROM documents WHERE doc_id % 7 = 0
     )
     SELECT b.doc_id AS new_doc_id,

@@ -81,10 +81,24 @@ def read_imdb_tsv_with_quarantine(
       RETURNED frame (clean rows only — narrower than the raw parse)
       and own its lifetime.
 
-    With ``header=True``, lines byte-equal to the canonical header
-    (schema field names tab-joined — the layout this engine writes
-    and IMDb ships) are dropped before parsing, which also handles
-    multi-file globs where every file carries a header.
+    Header contract (LOUD, because it differs from the csv
+    datasource's positional skip): with ``header=True``, lines
+    byte-equal to the canonical header (schema field names tab-joined
+    — the layout this engine writes and IMDb ships) are dropped before
+    parsing, which also handles multi-file globs where every file
+    carries a header. Two consequences:
+
+    - a DATA row byte-identical to the header line is dropped with it
+      (impossible for typed schemas — field names don't parse as
+      ints/dates — and harmless for the all-string IMDb layout where
+      such a row is indistinguishable from a header anyway);
+    - a file whose header DIFFERS from the schema (renamed, reordered,
+      re-cased columns) is NOT silently skipped: that header lands in
+      the quarantine tagged ``header_like = true`` (tab-split fields
+      set-equal to the schema names, case-insensitive) — one flagged
+      row per file is the signal that the file's layout drifted, which
+      beats positionally skipping a first line whose order no longer
+      matches the schema and mis-parsing every row after it.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -102,8 +116,16 @@ def read_imdb_tsv_with_quarantine(
     parsed = lines.select(
         "value", F.from_csv("value", aug.simpleString(), options).alias("__r")
     )
+    canonical_names = F.array(
+        *[F.lit(f.name.lower()) for f in sorted(schema.fields, key=lambda f: f.name.lower())]
+    )
+    header_like = (
+        F.array_sort(F.transform(F.split(F.col("value"), "\t", -1), F.lower))
+        == canonical_names
+    )
     bad = parsed.filter(F.col(f"__r.{corrupt_col}").isNotNull()).select(
         F.col("value").alias("raw_line"),
+        header_like.alias("header_like"),
         F.current_timestamp().alias("quarantined_at"),
     )
     bad.write.mode("append").parquet(quarantine_path)

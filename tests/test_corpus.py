@@ -35,3 +35,24 @@ def test_remove_repeated_lines_boilerplate(spark):
     assert out[3] == "self\nself\ndelta four"
     assert out[4] == ""
     assert out[5] == "unique only\nself"
+
+
+def test_remove_repeated_lines_literal_separator(spark):
+    """``sep`` is literal, not a regex: '|' must split on pipes only
+    (unescaped it is the regex alternation that splits at every
+    position, silently corrupting segmentation)."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        remove_repeated_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ad|keep me|end"), (2, "ad|other text|end")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_lines(
+            docs, "doc_id", "text", min_docs=2, sep="|"
+        ).collect()
+    }
+    assert out == {1: "keep me", 2: "other text"}

@@ -360,3 +360,13 @@ def test_remove_repeated_lines_matches_python_reference(spark, docs, min_docs):
         ).collect()
     }
     assert got == want
+    # the 8-byte-key scale path (count/anti-join shuffles carry
+    # xxhash64(line), not line text) is semantics-identical away from
+    # 2^-64 collisions — pinned on the same random corpora
+    got_hashed = {
+        r.doc_id: r.text
+        for r in remove_repeated_lines(
+            df, "doc_id", "text", min_docs=min_docs, key_on_hash=True
+        ).collect()
+    }
+    assert got_hashed == want

@@ -225,6 +225,41 @@ def test_tsv_quarantine_splits_malformed_rows(spark, tmp_path):
     assert bad.count() == 1
     raw = bad.collect()[0]
     assert "not_a_year" in raw.raw_line and raw.quarantined_at is not None
+    assert raw.header_like is False
+
+
+def test_tsv_quarantine_tags_drifted_headers(spark, tmp_path):
+    """A file whose header differs from the schema's canonical layout
+    (reordered / re-cased columns) is not silently skipped: the header
+    quarantines with header_like=true — the layout-drift signal — and
+    ordinary malformed rows stay header_like=false."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from aws_imdb_data_pipeline_spark.sources.tsv import (
+        read_imdb_tsv_with_quarantine,
+    )
+
+    src = tmp_path / "drifted.tsv"
+    src.write_text(
+        "Year\tTconst\n"      # reordered + re-cased header -> tagged
+        "tt1\t1999\n"
+        "tt2\tbogus\n"        # plain malformed row -> untagged
+    )
+    schema = StructType(
+        [StructField("tconst", StringType()), StructField("year", IntegerType())]
+    )
+    qdir = str(tmp_path / "quarantine")
+    good = read_imdb_tsv_with_quarantine(spark, str(src), schema, qdir)
+    assert {r.tconst for r in good.collect()} == {"tt1"}
+    tagged = {
+        r.raw_line: r.header_like for r in spark.read.parquet(qdir).collect()
+    }
+    assert tagged == {"Year\tTconst": True, "tt2\tbogus": False}
 
 
 def test_cluster_by_zone_map_row_group_stats(spark, tmp_path):
