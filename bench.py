@@ -111,6 +111,37 @@ def find_advisories(
     }
 
 
+def check_detail_total(
+    total: float,
+    prior_total: float | None,
+    calib: float,
+    prior_calib: float | None,
+    threshold: float = 1.25,
+) -> dict | None:
+    """Warn-only gate on the ALL-queries total (the headline gate
+    covers 21 queries; a diffuse regression across the other 112 used
+    to surface only via per-query advisories). Same clamp semantics as
+    find_regressions: prior total is scaled up when this host run is
+    slower (calib ratio), never down — a faster host compares raw.
+    Threshold is tighter than per-query (1.25x vs 1.5x) because a sum
+    over ~130 queries averages away per-query noise."""
+    if not prior_total:
+        return None
+    speed = (
+        max(calib / prior_calib, 1.0)
+        if prior_calib and prior_calib > 0 and calib > 0
+        else 1.0
+    )
+    if total > threshold * prior_total * speed:
+        return {
+            "prev": prior_total,
+            "now": total,
+            "calib_ratio": round(speed, 3),
+            "threshold": threshold,
+        }
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -169,16 +200,24 @@ def main() -> None:
     )
     prior: dict[str, float] = {}
     prior_calib = None
+    prior_detail_total = None
     if os.path.exists(detail_path):
         try:
             with open(detail_path) as f:
                 prior_doc = json.load(f)
             prior = prior_doc.get("queries", {})
             prior_calib = prior_doc.get("calib_sec")
+            prior_detail_total = prior_doc.get("detail_total_sec") or (
+                round(sum(prior.values()), 3) if prior else None
+            )
         except (json.JSONDecodeError, OSError):
             prior = {}
+    detail_total = round(sum(times.values()), 3)
     regressions = find_regressions(times, prior, calib, prior_calib)
     advisories = find_advisories(times, prior, calib, prior_calib)
+    total_warn = check_detail_total(
+        detail_total, prior_detail_total, calib, prior_calib
+    )
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -187,15 +226,19 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "calib_sec": calib,
+                "detail_total_sec": detail_total,
                 "queries": times,
                 "regressions": regressions,
                 "norm_advisories": advisories,
+                "detail_total_warn": total_warn,
             },
             f,
             indent=2,
         )
     if regressions:
         print(f"WARN bench regressions (>1.5x prior round): {json.dumps(regressions)}", file=sys.stderr)
+    if total_warn:
+        print(f"WARN detail-suite total regressed: {json.dumps(total_warn)}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -81,3 +81,23 @@ def test_regression_gate_clamps_on_faster_host():
     same = {"q1": 1.0, "q2": 0.5}
     assert find_regressions(same, prior, 0.15, 0.3) == {}
     assert set(find_regressions({"q1": 2.1, "q2": 0.5}, prior, 0.15, 0.3)) == {"q1"}
+
+
+def test_detail_total_gate_is_calib_clamped():
+    """The all-queries total warns only on a real diffuse regression:
+    a uniformly slower host (calib up with the total) is excused via
+    the same >=1.0-clamped calib ratio; a faster host compares raw."""
+    from bench import check_detail_total
+
+    # no prior -> no verdict
+    assert check_detail_total(100.0, None, 0.3, 0.3) is None
+    # flat round-over-round -> quiet
+    assert check_detail_total(72.0, 70.0, 0.3, 0.3) is None
+    # busier host: total up 1.35x AND calib up 1.35x -> excused
+    assert check_detail_total(94.5, 70.0, 0.405, 0.3) is None
+    # genuine diffuse regression on the same host -> warns
+    w = check_detail_total(95.0, 70.0, 0.3, 0.3)
+    assert w and w["prev"] == 70.0 and w["now"] == 95.0
+    # faster host never scales the threshold DOWN (clamp at 1.0):
+    # 1.2x raw growth stays quiet even though the host is 2x faster
+    assert check_detail_total(84.0, 70.0, 0.15, 0.3) is None
