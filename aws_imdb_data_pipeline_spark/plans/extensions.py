@@ -1055,20 +1055,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus is the full documents table. Both sides are deterministic
 # projections of the table, so the oracle can state the expected
 # matches in pure SQL. The id shift is DATA-DERIVED (max(doc_id) + 1,
-# a one-row broadcast, the same scalar subquery in the oracle) so the
-# batch/corpus id namespaces stay disjoint at ANY scale factor — a
-# fixed constant silently collided once doc_id outgrew it, and the
-# incremental-dedup contract ("ids unique across batch + corpus")
-# would have dropped genuine matches via its id != new_id filter.
+# the same scalar subquery in the oracle) so the batch/corpus id
+# namespaces stay disjoint at ANY scale factor — a fixed constant
+# silently collided once doc_id outgrew it, and the incremental-dedup
+# contract ("ids unique across batch + corpus") would have dropped
+# genuine matches via its id != new_id filter. The scalar resolves
+# DRIVER-SIDE (a bounded one-row aggregate, the same plan-time-decision
+# shape as the PQ probed-cell collect) rather than as a lazy 1-row
+# cross join: the batch lineage fans out 5× inside the near-dup plan,
+# and a lazy shift would replicate a max-scan + nested-loop join into
+# every branch.
 _RECRAWL_PRED = "doc_id % 7 = 0"
 
 
 def _recrawl_batch(docs: DataFrame) -> DataFrame:
-    shift = docs.agg((F.max("doc_id") + 1).alias("__shift"))
-    return (
-        docs.filter(F.expr(_RECRAWL_PRED))
-        .crossJoin(F.broadcast(shift))
-        .select((F.col("doc_id") + F.col("__shift")).alias("doc_id"), "text")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    return docs.filter(F.expr(_RECRAWL_PRED)).select(
+        (F.col("doc_id") + F.lit(shift)).alias("doc_id"), "text"
     )
 
 
