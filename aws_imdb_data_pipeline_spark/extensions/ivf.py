@@ -147,13 +147,21 @@ def cosine_topk_ivf(
     fit_fraction: float | None = None,
     assignments: DataFrame | None = None,
     centers: list[list[float]] | None = None,
+    prune_lists: bool = False,
 ) -> DataFrame:
     """IVF-approximate cosine top-k: (query_id, neighbor_id, cosine).
 
     With ``assignments``/``centers`` provided (a persisted
     :func:`build_ivf_index` artifact), the quantizer is fit ZERO times:
     the query path only ranks centroids and scans the probed cells —
-    training never belongs in a serve path at scale."""
+    training never belongs in a serve path at scale.
+
+    ``prune_lists=True`` (sensible only with a ``__list``-partitioned
+    index artifact) collects the ≤ n_lists distinct probed cell ids —
+    a plan-time decision bounded by the index's list count, the same
+    move the PQ serve path makes — and applies them as an ``isin``
+    filter, so the candidate scan reads only the probed parquet
+    partitions instead of every cell."""
     spark = candidates.sparkSession
     if assignments is not None and centers is not None:
         assigned = assignments
@@ -184,6 +192,10 @@ def cosine_topk_ivf(
         order_by=[F.col("__d"), F.col("__list")],
         n=n_probe,
     ).select("query_id", "__qv", "__list")
+
+    if prune_lists:
+        lists = [r[0] for r in probed.select("__list").distinct().collect()]
+        cand = cand.filter(F.col("__list").isin(lists))
 
     joined = cand.join(F.broadcast(probed), "__list").filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -854,6 +854,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb.filter(F.col("vec_id") < 5), emb, "vec_id", "embedding",
         k=5, n_probe=4, assignments=assigned, centers=centers,
+        prune_lists=True,
     )
 
 
