@@ -1,0 +1,150 @@
+"""Third extensions batch: corpus-curation operators a training-data
+pipeline runs between dedup and mixing — per-source caps (the
+RefinedWeb/CCNet domain-cap rule), per-language length-decile
+profiling (the report length filters are tuned from), and
+truncated-prefix duplicate detection (the crawl-dup class exact and
+shingle dedup both miss: a document that is a strict PREFIX of
+another — partial fetches, pagination cutoffs, re-crawls of grown
+pages). All three are fully SQL-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "corpus_per_source_cap",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
+    """,
+    operators=("EXT-corpus", "W2", "O2"),
+)
+def corpus_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb/CCNet-style domain rule: no
+    single domain may dominate the training mix): keep at most 15 docs
+    per source, survivors deterministic (lowest doc_id — a stable,
+    engine-independent order; swap the order_by for xxhash64 ranking
+    when survivors should be pseudo-random, as cluster_balanced_sample
+    does). One window shuffle on the source key; the rank filter plans
+    as WindowGroupLimit, so each map task pre-trims to the cap before the
+    exchange — at 100 TB the shuffle carries ~cap×n_sources rows, not
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return top_n_per_group(
+        docs,
+        partition_by=["source"],
+        order_by=[F.col("doc_id")],
+        n=15,
+    )
+
+
+@register(
+    "corpus_length_deciles",
+    oracle="""
+    WITH d AS (
+        SELECT lang, n_chars,
+               ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+                 AS decile
+        FROM documents
+    )
+    SELECT lang, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM d
+    GROUP BY lang, decile
+    """,
+    operators=("EXT-corpus", "W1", "A1"),
+)
+def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-decile profile — the distribution report
+    corpus length filters are tuned from (C4 drops by word count; the
+    cutoffs come from exactly this shape). ntile is PARTITIONED by
+    lang, so the window parallelizes across languages — no
+    single-partition global sort; within a language the order is
+    total (n_chars, doc_id), so decile boundaries are deterministic
+    and the oracle reproduces them exactly. For a decile profile over
+    ONE giant key at 100 TB, the scale path is approx-quantile cut
+    points + bucketing instead (quality/profile.py's sketches); this
+    exact windowed form is the reference semantics."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    d = docs.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return d.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "dedup_truncated_prefix_pairs",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+               array_to_string(string_split(text, ' ')[1:20], ' ')
+        FROM documents WHERE doc_id % 9 = 0
+    )
+    SELECT a.doc_id AS short_id, b.doc_id AS long_id
+    FROM aug a JOIN aug b
+      ON substring(a.text, 1, 40) = substring(b.text, 1, 40)
+    WHERE length(a.text) >= 40
+      AND length(a.text) < length(b.text)
+      AND starts_with(b.text, a.text)
+    """,
+    operators=("EXT-dedup", "J1", "U1"),
+)
+def dedup_truncated_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-duplicate detection: pairs where one document is a
+    strict CHARACTER PREFIX of another — the crawl-dup class both
+    exact-hash dedup (different hashes) and shingle dedup (Jaccard =
+    |short|/|long|, below threshold for hard truncation) miss:
+    partial fetches, pagination cutoffs, re-crawls of since-grown
+    pages. The test corpus plants them deterministically (every 9th
+    doc re-appears truncated to its first 20 words, under a
+    max(doc_id)+1-shifted id — same scalar in the oracle).
+
+    Plan shape: equi-join on the first-40-char bucket key — any
+    strict-prefix pair with |short| >= 40 NECESSARILY collides on it,
+    so candidates are exact-key hash-join matches, never a cross
+    join — then a startswith + strict-length verify. At 100 TB the
+    bucket key hashes to 8 bytes for the shuffle and the verify
+    touches colliding groups only; longer keys trade candidate count
+    against missing shorter prefixes (documented, same trade as
+    shingle width)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    trunc = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 20), " ").alias("text"),
+    )
+    aug = docs.unionByName(trunc)
+    short = aug.select(
+        F.col("doc_id").alias("short_id"), F.col("text").alias("__st")
+    ).filter(F.length("__st") >= 40)
+    long = aug.select(
+        F.col("doc_id").alias("long_id"), F.col("text").alias("__lt")
+    )
+    return (
+        short.withColumn("__k", F.substring("__st", 1, 40))
+        .join(long.withColumn("__k", F.substring("__lt", 1, 40)), "__k")
+        .filter(
+            (F.length("__st") < F.length("__lt"))
+            & F.col("__lt").startswith(F.col("__st"))
+        )
+        .select("short_id", "long_id")
+    )
