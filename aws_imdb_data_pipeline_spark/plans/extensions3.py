@@ -90,6 +90,125 @@ def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_span_coverage",
+    oracle="""
+    WITH shift AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+    aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT s FROM shift),
+               array_to_string(string_split(text, ' ')[5:24], ' ')
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(ws[i+1 : i+10], ' ') AS sh
+        FROM w, LATERAL unnest(generate_series(0, len(ws) - 10)) AS t(i)
+        WHERE len(ws) >= 10
+    ),
+    hot AS (
+        SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_shingles,
+               CAST(len(list_distinct(flatten(
+                   list(generate_series(s.pos, s.pos + 9))))) AS BIGINT)
+                 AS covered_tokens
+        FROM sh s JOIN hot h USING (sh)
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           COALESCE(p.n_dup_shingles, 0) AS n_dup_shingles,
+           COALESCE(p.covered_tokens, 0) AS covered_tokens,
+           CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE)
+               / len(string_split(d.text, ' ')) AS dup_token_frac
+    FROM documents d LEFT JOIN dup p ON p.doc_id = d.doc_id
+    """,
+    operators=("EXT-dedup", "EXT-text", "A6", "W-posexplode"),
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage — the exact-substring dup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"): for every document, how much of it is
+    covered by 10-word shingles that also occur in ANOTHER document.
+    Corpora drop or trim docs above a coverage threshold; this is the
+    metric that threshold reads. The test corpus plants interior
+    excerpts deterministically (every 6th doc re-appears as its words
+    5-24 under a shifted id — a quoted-excerpt duplicate), and the
+    metric is reported for the ORIGINAL docs.
+
+    Plan shape: position-indexed shingle explode → one countDistinct
+    shuffle on the shingle (the oracle-matched form; at 100 TB carry
+    ``xxhash64(shingle)`` 8-byte keys exactly as remove_repeated_lines'
+    key_on_hash does) → semi-join back → per-doc interval union
+    computed INSIDE the aggregate (array_distinct over flattened
+    sequences — per-doc work bounded by doc length, never global).
+    ``dup_token_frac`` is an int/int quotient — bitwise identical
+    across engines, so it is emitted unrounded per the float policy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    excerpt = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 5, 20), " ").alias("text"),
+    )
+    aug = docs.unionByName(excerpt)
+    words = F.split("text", " ")
+    sh = (
+        aug.filter(F.size(words) >= 10)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - 10),
+                    lambda i: F.array_join(F.slice(words, i + 1, 10), " "),
+                )
+            ).alias("__p", "__sh"),
+        )
+        # posexplode numbers array slots 0.., and slot i holds the
+        # shingle starting at word position i, so __p IS the position
+    )
+    hot = (
+        sh.groupBy("__sh")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__sh")
+    )
+    dup = (
+        sh.join(hot, "__sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+            F.collect_list(
+                F.sequence(F.col("__p"), F.col("__p") + 9)
+            ).alias("__seqs"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_shingles",
+            F.size(F.array_distinct(F.flatten("__seqs"))).cast("long").alias(
+                "covered_tokens"
+            ),
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    return base.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        (
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_words")
+        ).alias("dup_token_frac"),
+    )
+
+
+@register(
     "dedup_truncated_prefix_pairs",
     oracle="""
     WITH aug AS (
