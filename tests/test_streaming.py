@@ -557,3 +557,58 @@ def test_stream_incremental_near_dup_matches_batch(spark, tmp_path):
     assert got == want
     # the feed is batch-attributed (the at-least-once replay handle)
     assert got_df.select("batch_id").distinct().count() >= 3
+
+
+def test_stream_per_source_quota_matches_batch_rule(spark, tmp_path):
+    """Streaming per-source admission (streaming/quota.py): docgen docs
+    arrive in id order, every source stops admitting at the cap, and
+    the admitted set equals the batch domain-cap rule (lowest-id-first
+    survivors) — the in-order-arrival case where stream and batch
+    curation must agree exactly. Cap spans micro-batches, so state
+    (one long per source) must carry across triggers."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+    from aws_imdb_data_pipeline_spark.sources.docgen import DocGenDataSource
+    from aws_imdb_data_pipeline_spark.streaming.quota import (
+        admit_per_source_quota,
+    )
+
+    spark.dataSource.register(DocGenDataSource)
+    opts = {"n_docs": "400", "rows_per_batch": "80", "seed": 7}
+    stream = (
+        spark.readStream.format("docgen").options(**opts).load()
+        .select("source", "doc_id")
+    )
+    admitted = admit_per_source_quota(stream, cap=9)
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("quota_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    batch = (
+        spark.read.format("docgen").options(**opts).load()
+        .select("source", "doc_id")
+    )
+    want = {
+        (r.source, r.doc_id)
+        for r in top_n_per_group(
+            batch, partition_by=["source"], order_by=[F.col("doc_id")], n=9
+        ).collect()
+    }
+
+    deadline = time.time() + 120
+    got_df = spark.table("quota_stream")
+    while got_df.count() < len(want) and time.time() < deadline:
+        time.sleep(1)
+    q.stop()
+    got = {(r.source, r.doc_id) for r in got_df.collect()}
+    assert got == want
+    # quota respected per source
+    per_src = got_df.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 9 for r in per_src)
