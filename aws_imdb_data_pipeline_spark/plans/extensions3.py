@@ -90,6 +90,86 @@ def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_robust_outliers",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority AS priority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    m AS (
+        SELECT priority, quantile_cont(cents, 0.5) AS med_cents
+        FROM o GROUP BY priority
+    ),
+    d AS (
+        SELECT o.priority, o.cents, m.med_cents,
+               abs(o.cents - m.med_cents) AS adev
+        FROM o JOIN m USING (priority)
+    ),
+    s AS (
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ANY_VALUE(med_cents) AS med_cents,
+               quantile_cont(adev, 0.5) AS mad_cents
+        FROM d GROUP BY priority
+    )
+    SELECT s.priority, s.n_orders, s.med_cents, s.mad_cents,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * s.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN s USING (priority)
+    GROUP BY s.priority, s.n_orders, s.med_cents, s.mad_cents
+    """,
+    operators=("Q-profile", "A9", "EXT-dq"),
+)
+def dq_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier profile: median + MAD (median absolute
+    deviation) per order priority, and the count of rows beyond the
+    standard 3·1.4826·MAD fence — the outlier rule that mean/stddev
+    cannot give (a few corrupt billion-dollar rows drag the mean fence
+    out past themselves; the median fence does not move). Cross-engine
+    float discipline: amounts become integer CENTS first (exact round
+    of 2-decimal inputs), so every median/MAD is either an integer or
+    an exact .5 half — interpolation at q=0.5 is (a+b)/2 in both
+    engines, bitwise reproducible, and the fence multiplier is written
+    as the same 3 * 1.4826 expression on both sides.
+
+    Plan: two grouped EXACT percentiles (shuffle on the 5-value
+    priority key) + a broadcast of the 5-row stats back over the fact.
+    At 100 TB swap `percentile` for `percentile_approx`/t-digest
+    (operators/sketches.py) — the fence moves by ~epsilon, the
+    wrong-rows count does not need 15 digits; the exact form here is
+    what a SQL oracle can verify."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = o.groupBy("priority").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    d = o.join(F.broadcast(med), "priority").select(
+        "priority",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    s = d.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.first("med_cents").alias("med_cents"),
+        F.expr("percentile(adev, 0.5)").alias("mad_cents"),
+    )
+    fence = F.lit(3) * F.lit(1.4826) * F.col("mad_cents")
+    return (
+        d.join(F.broadcast(s.drop("med_cents")), "priority")
+        .groupBy("priority", "n_orders", "med_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > fence, 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+
+
+@register(
     "dup_span_coverage",
     oracle="""
     WITH shift AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
