@@ -134,3 +134,17 @@ def test_corpus_pipeline_lm_filter_and_shuffle(tmp_path, spark):
         for r in built.groupBy("shard").agg(F.max("pos").alias("m")).collect()
     }
     assert maxpos == per_shard  # dense 1..n ranks per shard
+
+
+def test_ingest_example_runs_end_to_end(tmp_path, spark):
+    """Day-2 ingest composition (examples/run_ingest_pipeline.py):
+    quota admission caps every source, the incremental index drops the
+    planted re-crawls (even-id pages already in yesterday's corpus),
+    and only genuinely new pages land."""
+    from run_ingest_pipeline import main as ingest_main
+
+    report = ingest_main(str(tmp_path / "work"), spark=spark)
+    assert report["admitted"] == report["matched_recrawls"] + report["landed"]
+    assert report["matched_recrawls"] > 0      # re-crawls were caught
+    assert report["landed"] > 0                # new pages got through
+    assert report["sources"] >= 2
