@@ -90,6 +90,93 @@ def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_consistency",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.x * b.x) AS dot
+        FROM e a JOIN e b ON a.i = b.i
+        WHERE a.vec_id < 50 AND b.vec_id != a.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT qid, nid, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        FROM dots
+        JOIN norms na ON na.vec_id = qid
+        JOIN norms nb ON nb.vec_id = nid
+    ),
+    top5 AS (
+        SELECT qid, nid FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, nid) <= 5
+    ),
+    votes AS (
+        SELECT t.qid, l.label AS nlabel, COUNT(*) AS c
+        FROM top5 t JOIN embeddings l ON l.vec_id = t.nid
+        GROUP BY 1, 2
+    ),
+    top1 AS (
+        SELECT qid, nlabel FROM votes
+        QUALIFY row_number() OVER (
+            PARTITION BY qid ORDER BY c DESC, nlabel) = 1
+    )
+    SELECT q.vec_id AS query_id, q.label AS own_label,
+           t.nlabel AS knn_label, q.label = t.nlabel AS label_match
+    FROM embeddings q JOIN top1 t ON t.qid = q.vec_id
+    """,
+    operators=("EXT-sim", "W2", "A1"),
+)
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality EVAL operator: k-nearest-neighbor label
+    consistency — for each query vector, do its 5 cosine-nearest
+    neighbors vote its own label? The standard sanity metric for an
+    embedding space (labels that cluster geometrically score high;
+    shuffled labels score ~1/n_labels), run before trusting the space
+    for semantic dedup or balanced sampling. Majority vote with
+    deterministic ties (count desc, then smallest label); neighbor
+    selection uses the rounded cosine with neighbor-id tie-break —
+    the same cross-engine float discipline the embedding_near_dup
+    oracle established. Brute-force neighbor scan (queries broadcast,
+    one candidate pass); at scale the shortlist comes from the
+    IVF/PQ serve paths instead, metric unchanged."""
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    top = cosine_topk(q, emb, "vec_id", "embedding", k=5, round_to=4)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    votes = (
+        top.join(F.broadcast(lab), "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top1 = top_n_per_group(
+        votes,
+        partition_by=["query_id"],
+        order_by=[F.desc("__c"), F.col("nlabel")],
+        n=1,
+    ).select("query_id", F.col("nlabel").alias("knn_label"))
+    own = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    return own.join(top1, "query_id").select(
+        "query_id",
+        "own_label",
+        "knn_label",
+        (F.col("own_label") == F.col("knn_label")).alias("label_match"),
+    )
+
+
+@register(
     "dq_robust_outliers",
     oracle="""
     WITH o AS (
