@@ -612,3 +612,59 @@ def test_stream_per_source_quota_matches_batch_rule(spark, tmp_path):
     # quota respected per source
     per_src = got_df.groupBy("source").count().collect()
     assert per_src and all(r["count"] <= 9 for r in per_src)
+
+
+def test_stream_ann_topk_matches_batch_serve(spark, sf_dir, tmp_path):
+    """Streaming ANN serving (streaming/annserve.py): query vectors
+    arriving in micro-batches are answered from the persisted IVF-PQ
+    index, and the accumulated feed equals the batch serve on the same
+    queries — per-query independence means foreachBatch changes
+    delivery, never answers."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.pq import (
+        cosine_topk_ivf_pq_from_index,
+    )
+    from aws_imdb_data_pipeline_spark.plans.extensions import ensure_pq_index
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming.annserve import stream_ann_topk
+
+    index_path, _ = ensure_pq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    qdir = str(tmp_path / "queries")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    queries.repartition(2).write.parquet(qdir)
+
+    out, ckpt = str(tmp_path / "topk"), str(tmp_path / "ckpt")
+    qstream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    q = stream_ann_topk(qstream, index_path, out, ckpt, k=5, n_probe=4)
+
+    want = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in cosine_topk_ivf_pq_from_index(
+            queries, spark, index_path, "vec_id", "embedding",
+            k=5, n_probe=4, refine_factor=8,
+        ).collect()
+    }
+    deadline = time.time() + 180
+    n = 0
+    while n < len(want) and time.time() < deadline:
+        try:
+            n = spark.read.parquet(out).count()
+        except Exception:
+            n = 0
+        time.sleep(1)
+    q.stop()
+    got_df = spark.read.parquet(out)
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine) for r in got_df.collect()
+    }
+    assert got == want
+    assert got_df.select("batch_id").distinct().count() >= 2
