@@ -316,6 +316,8 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dup_token_frac`` is an int/int quotient — bitwise identical
     across engines, so it is emitted unrounded per the float policy."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded one-row scalar (disjoint id namespace) — the same
+    # plan-time-decision shape as the PQ probed-cell collect
     shift = docs.agg(F.max("doc_id")).first()[0] + 1
     excerpt = docs.filter(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
@@ -413,6 +415,8 @@ def dedup_truncated_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against missing shorter prefixes (documented, same trade as
     shingle width)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded one-row scalar (disjoint id namespace) — the same
+    # plan-time-decision shape as the PQ probed-cell collect
     shift = docs.agg(F.max("doc_id")).first()[0] + 1
     trunc = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
