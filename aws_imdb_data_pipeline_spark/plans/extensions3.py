@@ -438,3 +438,83 @@ def dedup_truncated_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("short_id", "long_id")
     )
+
+
+@register(
+    "crawl_diff_summary",
+    oracle="""
+    WITH nxt AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' updated'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 17 != 0
+        UNION ALL
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+        FROM documents WHERE doc_id % 19 = 0
+    ),
+    j AS (
+        SELECT COALESCE(c.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN c.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN c.text = n.text THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM documents c FULL OUTER JOIN nxt n ON c.doc_id = n.doc_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM j GROUP BY status
+    """,
+    operators=("J-full", "EXT-corpus", "A1"),
+)
+def crawl_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-version diff: classify every document across two corpus
+    versions as added / removed / changed / unchanged — the snapshot
+    comparison a crawl pipeline reports before promoting a version
+    (and the FULL OUTER JOIN shape: neither side may be dropped,
+    unmatched rows from both classify). The next version is derived
+    deterministically (every 13th doc's text updated, every 17th
+    removed, every 19th re-added under a fresh id) so the oracle
+    rebuilds it exactly. At 100 TB the text-equality compare carries
+    ``xxhash64(text)`` 8-byte fingerprints through the join instead of
+    document bodies (the dedup_incremental_exact pattern) and both
+    sides shuffle once on doc_id — or zero times when the corpus
+    versions are bucketed by doc_id (§17)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded one-row scalar (disjoint id namespace) — the same
+    # plan-time-decision shape as the PQ probed-cell collect
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    nxt = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat("text", F.lit(" updated"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + F.lit(shift)).alias("doc_id"), "text"
+            )
+        )
+    )
+    c = docs.select(
+        F.col("doc_id").alias("__cid"), F.col("text").alias("__ct")
+    )
+    n = nxt.select(
+        F.col("doc_id").alias("__nid"), F.col("text").alias("__nt")
+    )
+    j = c.join(n, c["__cid"] == n["__nid"], "full_outer").select(
+        F.coalesce("__cid", "__nid").alias("doc_id"),
+        F.when(F.col("__cid").isNull(), "added")
+        .when(F.col("__nid").isNull(), "removed")
+        .when(F.col("__ct") == F.col("__nt"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
