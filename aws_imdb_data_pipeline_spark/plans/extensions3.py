@@ -518,3 +518,47 @@ def crawl_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "supplier_balance_distribution",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           percent_rank() OVER w AS bal_pct_rank,
+           cume_dist() OVER w AS bal_cume,
+           nth_value(s_name, 2) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS second_lowest_name
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    QUALIFY s_suppkey % 7 = 0
+    """,
+    operators=("W4", "F-dist"),
+)
+def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions: percent_rank (relative
+    rank in [0,1]) and cume_dist (fraction of peers at-or-below) of
+    each supplier's balance within its nation, plus nth_value over the
+    FULL frame (the second-lowest-balance supplier's name — note the
+    explicit unbounded frame: the default ends at CURRENT ROW and
+    would return NULL for the first row). The order (s_acctbal,
+    s_suppkey) is total, so ranks are deterministic, and both
+    percent_rank ((rank-1)/(n-1)) and cume_dist (peers/n) are int/int
+    quotients — bitwise identical cross-engine, shipped unrounded.
+    Output thinned to every 7th supplier AFTER the windows (the
+    QUALIFY twin) so the distribution is computed over everyone."""
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_suppkey", "s_acctbal", "s_name"
+    )
+    return (
+        sup.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.percent_rank().over(w).alias("bal_pct_rank"),
+            F.cume_dist().over(w).alias("bal_cume"),
+            F.nth_value("s_name", 2).over(wf).alias("second_lowest_name"),
+        )
+        .filter(F.col("s_suppkey") % 7 == 0)
+    )
