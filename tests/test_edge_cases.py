@@ -106,3 +106,105 @@ def test_prefix_sum_exact_above_double_precision(spark):
     out = {r.ord: r.cumsum for r in
            prefix_sum(df, "ord", "v", out_col="cumsum", n_buckets=8).collect()}
     assert out == {base + i: i + 1 for i in range(64)}
+
+
+def test_remove_repeated_lines_empty_and_single_doc(spark):
+    """Degenerate corpora: an empty frame yields an empty frame; a
+    single document can never cross a min_docs=2 threshold, so its
+    text survives untouched — in both exact and hashed-key modes."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        remove_repeated_lines,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    for hashed in (False, True):
+        assert remove_repeated_lines(
+            empty, "doc_id", "text", key_on_hash=hashed
+        ).count() == 0
+    one = spark.createDataFrame([(1, "a\nb\na")], schema)
+    for hashed in (False, True):
+        got = remove_repeated_lines(
+            one, "doc_id", "text", key_on_hash=hashed
+        ).collect()
+        assert got[0].text == "a\nb\na"
+
+
+def test_per_source_cap_smaller_groups_untouched(spark):
+    """A source with fewer docs than the cap keeps everything; caps
+    never invent rows."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(3)] + [("b", i) for i in range(20)],
+        ["source", "doc_id"],
+    )
+    kept = top_n_per_group(
+        df, partition_by=["source"], order_by=[F.col("doc_id")], n=5
+    )
+    counts = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert counts == {"a": 3, "b": 5}
+
+
+def test_cell_hash_ranks_is_a_permutation_per_cell(spark):
+    """Within every cell the hash rank is exactly 1..n — no gaps, no
+    duplicates — so any cap selects exactly min(cap, n) rows."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        cell_hash_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], ["vec_id", "__list"]
+    )
+    ranked = cell_hash_ranks(df, "vec_id", seed=7)
+    per_cell = (
+        ranked.groupBy("__list")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("__rn").alias("nd"),
+            F.min("__rn").alias("lo"),
+            F.max("__rn").alias("hi"),
+        )
+        .collect()
+    )
+    for r in per_cell:
+        assert (r.n, r.nd, r.lo, r.hi) == (10, 10, 1, 10)
+
+
+def test_truncated_prefix_pairs_ignore_short_keys(spark):
+    """Documents whose text is shorter than the 40-char bucket key are
+    excluded from the SHORT side by contract (both engines filter the
+    same way), and equal-length identical texts are NOT prefix pairs
+    (strict length)."""
+    from pyspark.sql import functions as F
+
+    long_a = " ".join(["alpha"] * 20)            # 119 chars
+    df = spark.createDataFrame(
+        [(1, "tiny text"), (2, "tiny text"), (3, long_a), (4, long_a + " tail")],
+        ["doc_id", "text"],
+    )
+    short = df.select(
+        F.col("doc_id").alias("short_id"), F.col("text").alias("__st")
+    ).filter(F.length("__st") >= 40)
+    long = df.select(
+        F.col("doc_id").alias("long_id"), F.col("text").alias("__lt")
+    )
+    pairs = (
+        short.withColumn("__k", F.substring("__st", 1, 40))
+        .join(long.withColumn("__k", F.substring("__lt", 1, 40)), "__k")
+        .filter(
+            (F.length("__st") < F.length("__lt"))
+            & F.col("__lt").startswith(F.col("__st"))
+        )
+        .select("short_id", "long_id")
+        .collect()
+    )
+    assert {(r.short_id, r.long_id) for r in pairs} == {(3, 4)}
