@@ -9,13 +9,13 @@ batch build).
     → admitted docs stream through incremental near-dup vs the
       PERSISTED index (foreachBatch; corpus never re-minhashed)
     → batch finish: drop matched re-crawls, strip cross-document
-      boilerplate lines, score duplicated-span coverage
+      boilerplate chunks (hashed keys)
     → landed increment partitioned by source + expectation gate
 
 Every stage is an operator a registered query/test exercises
 (`admit_per_source_quota`, `stream_incremental_near_dup`,
-`remove_repeated_lines`, `dup_span_coverage`'s kernel, the band-index
-artifact); this example proves they compose: the quota feed carries
+`remove_repeated_lines`, the band-index artifact); this example
+proves they compose: the quota feed carries
 ids only (payload re-fetched by id — the real admission-queue shape),
 the dedup stream reads the quota lake as a FILE-SOURCE stream, and
 the finishing pass is pure batch over the landed increments.
