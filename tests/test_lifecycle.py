@@ -194,3 +194,67 @@ def test_register_with_analyze_records_stats(spark, tmp_path):
     stats = [r.data_type for r in detail if r.col_name == "Statistics"]
     assert stats and "rows" in stats[0]  # rowCount recorded for CBO
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_retention_expires_old_runs_keeps_latest(spark, tmp_path):
+    """expire_runs drops all but the newest keep_last run partitions at
+    the directory level; the latest-run view is unaffected, dry_run
+    plans without deleting, and keep_last < 1 refuses."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.lifecycle.retention import (
+        expire_runs,
+        list_run_partitions,
+    )
+    from aws_imdb_data_pipeline_spark.operators.latest import (
+        latest_run_filter,
+    )
+
+    lake = str(tmp_path / "lake")
+    for i, day in enumerate(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]):
+        spark.createDataFrame(
+            [(i * 10 + j, day) for j in range(3)], ["id", "run_date"]
+        ).write.mode("append").partitionBy("run_date").parquet(lake)
+
+    assert list_run_partitions(lake) == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"
+    ]
+    plan = expire_runs(lake, keep_last=2, dry_run=True)
+    assert plan["expired"] == ["2024-01-01", "2024-01-02"]
+    assert plan["reclaimed_bytes"] > 0
+    assert list_run_partitions(lake)[0] == "2024-01-01"  # nothing deleted
+
+    out = expire_runs(lake, keep_last=2)
+    assert out["kept"] == ["2024-01-03", "2024-01-04"]
+    assert list_run_partitions(lake) == ["2024-01-03", "2024-01-04"]
+    assert not os.path.isdir(os.path.join(lake, "run_date=2024-01-01"))
+
+    remaining = spark.read.parquet(lake)
+    latest = latest_run_filter(remaining)
+    # partition values type-infer to DATE on read; compare as strings
+    assert {str(r.run_date) for r in latest.select("run_date").collect()} == {
+        "2024-01-04"
+    }
+    assert remaining.count() == 6
+
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_runs(lake, keep_last=0)
+
+
+def test_retention_refuses_mixed_width_keys(tmp_path):
+    import os
+
+    import pytest
+
+    from aws_imdb_data_pipeline_spark.lifecycle.retention import (
+        list_run_partitions,
+    )
+
+    lake = str(tmp_path / "lake")
+    for v in ["9", "10"]:
+        os.makedirs(os.path.join(lake, f"run_date={v}"))
+    with pytest.raises(ValueError, match="mixed-width"):
+        list_run_partitions(lake)
