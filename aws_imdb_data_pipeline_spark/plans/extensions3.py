@@ -308,13 +308,17 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric is reported for the ORIGINAL docs.
 
     Plan shape: position-indexed shingle explode → one countDistinct
-    shuffle on the shingle (the oracle-matched form; at 100 TB carry
-    ``xxhash64(shingle)`` 8-byte keys exactly as remove_repeated_lines'
-    key_on_hash does) → semi-join back → per-doc interval union
+    shuffle on the shingle → semi-join back → per-doc interval union
     computed INSIDE the aggregate (array_distinct over flattened
     sequences — per-doc work bounded by doc length, never global).
-    ``dup_token_frac`` is an int/int quotient — bitwise identical
-    across engines, so it is emitted unrounded per the float policy."""
+    The shingle KEY is ``xxhash64`` of the 10-word slice — no shingle
+    string is ever materialized, rows in the shuffle carry 8-byte
+    keys, and the output (counts and coverage only) is unchanged, so
+    the raw-text SQL oracle still verifies it exactly (a 2^-64 key
+    collision merging two shingles' doc counts is the standard trade,
+    same as remove_repeated_lines' key_on_hash). ``dup_token_frac``
+    is an int/int quotient — bitwise identical across engines, so it
+    is emitted unrounded per the float policy."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # bounded one-row scalar (disjoint id namespace) — the same
     # plan-time-decision shape as the PQ probed-cell collect
@@ -332,7 +336,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.size(words) - 10),
-                    lambda i: F.array_join(F.slice(words, i + 1, 10), " "),
+                    lambda i: F.xxhash64(F.slice(words, i + 1, 10)),
                 )
             ).alias("__p", "__sh"),
         )
