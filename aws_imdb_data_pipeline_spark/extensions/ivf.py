@@ -163,7 +163,15 @@ def cosine_topk_ivf(
     filter, so the candidate scan reads only the probed parquet
     partitions instead of every cell."""
     spark = candidates.sparkSession
-    if assignments is not None and centers is not None:
+    if (assignments is None) != (centers is None):
+        # silently retraining on the full corpus when a caller passed
+        # half an artifact would be exactly the cost the artifact
+        # exists to avoid — refuse instead
+        raise ValueError(
+            "cosine_topk_ivf needs assignments AND centers together "
+            "(both from the same build_ivf_index artifact), got only one"
+        )
+    if assignments is not None:
         assigned = assignments
     else:
         assigned, centers = build_ivf_assignments(

@@ -71,7 +71,7 @@ def expire_runs(
         raise ValueError("keep_last must be >= 1: the latest run slice "
                          "must survive for latest-run consumers")
     vals = list_run_partitions(path, partition_col)
-    kept, expired = vals[-keep_last:], vals[:-keep_last] if keep_last else vals
+    kept, expired = vals[-keep_last:], vals[:-keep_last]
     reclaimed = 0
     for v in expired:
         part_dir = os.path.join(path, f"{partition_col}={v}")

@@ -363,19 +363,28 @@ def ensure_partsupp_bucketed(
     fp = source_fingerprint(
         os.path.join(sf_dir, "part.parquet"), {"num_buckets": num_buckets}
     )[:12]
-    table = f"partsupp_b_{fp}"
+    # the table name embeds the SF-DIR scope before the fingerprint, so
+    # GC below only ever touches THIS sf_dir's stale versions — tables
+    # for other scale factors coexisting in the same warehouse (tests
+    # at sf0.001, bench at sf0.1) are never dropped or rmtree'd
+    scope = "".join(
+        ch if ch.isalnum() else "_"
+        for ch in os.path.basename(os.path.normpath(sf_dir))
+    ).lower()
+    prefix = f"partsupp_b_{scope}_"
+    table = f"{prefix}{fp}"
     if spark.catalog.tableExists(table):
         return table
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
-    # GC stale fingerprints: drop the catalog entries AND their files
-    # (these are attach-by-LOCATION tables, so DROP alone leaves data).
+    # GC stale fingerprints of THIS scope: drop the catalog entries AND
+    # their files (attach-by-LOCATION tables — DROP alone leaves data).
     for t in spark.catalog.listTables():
-        if t.name.startswith("partsupp_b_") and t.name != table:
+        if t.name.startswith(prefix) and t.name != table:
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     for name in os.listdir(warehouse) if os.path.isdir(warehouse) else []:
-        if name.startswith("partsupp_b_") and name != table:
+        if name.startswith(prefix) and name != table:
             shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
     ps = synth_partsupp(spark, sf_dir)
     # The session catalog is in-memory but the warehouse directory

@@ -99,6 +99,13 @@ def read_imdb_tsv_with_quarantine(
       row per file is the signal that the file's layout drifted, which
       beats positionally skipping a first line whose order no longer
       matches the schema and mis-parsing every row after it.
+
+    Quarantine schema note: the ``header_like`` column was added after
+    early quarantine lakes were written; when reading a quarantine
+    directory that may contain pre-``header_like`` files, pass
+    ``spark.read.option("mergeSchema", "true")`` (old rows read NULL
+    for the column) — the same additive-evolution contract as
+    `sources.lake.read_lake`.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType

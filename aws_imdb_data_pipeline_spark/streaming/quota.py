@@ -55,8 +55,11 @@ def admit_per_source_quota(
         (n,) = state.get if state.exists else (0,)
         # materialize the key's WHOLE batch before sorting: the runner
         # may deliver one key's batch rows as several Arrow chunks, and
-        # a per-chunk sort would make admissions chunking-dependent
-        ids = pd.concat([pdf[id_col] for pdf in pdfs]).sort_values()
+        # a per-chunk sort would make admissions chunking-dependent.
+        # NB: columns were aliased to (source, doc_id) BEFORE the
+        # grouping, so the UDF always reads the canonical names —
+        # never the caller's id_col.
+        ids = pd.concat([pdf["doc_id"] for pdf in pdfs]).sort_values()
         take = ids.iloc[: max(cap - n, 0)]
         state.update((n + len(take),))
         if len(take):

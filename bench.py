@@ -118,13 +118,16 @@ def check_detail_total(
     prior_calib: float | None,
     threshold: float = 1.25,
 ) -> dict | None:
-    """Warn-only gate on the ALL-queries total (the headline gate
-    covers 21 queries; a diffuse regression across the other 112 used
-    to surface only via per-query advisories). Same clamp semantics as
-    find_regressions: prior total is scaled up when this host run is
-    slower (calib ratio), never down — a faster host compares raw.
-    Threshold is tighter than per-query (1.25x vs 1.5x) because a sum
-    over ~130 queries averages away per-query noise."""
+    """Warn-only gate on the whole-suite total (the headline gate
+    covers 21 queries; a diffuse regression across the other ~120 used
+    to surface only via per-query advisories). Callers must pass
+    totals summed over the SAME query set (shared keys) — this repo
+    adds registered queries every round, and comparing a grown set
+    against a smaller prior set would warn on growth, not regression.
+    Same clamp semantics as find_regressions: prior total is scaled up
+    when this host run is slower (calib ratio), never down — a faster
+    host compares raw. Threshold is tighter than per-query (1.25x vs
+    1.5x) because a sum over ~130 queries averages away noise."""
     if not prior_total:
         return None
     speed = (
@@ -200,23 +203,24 @@ def main() -> None:
     )
     prior: dict[str, float] = {}
     prior_calib = None
-    prior_detail_total = None
     if os.path.exists(detail_path):
         try:
             with open(detail_path) as f:
                 prior_doc = json.load(f)
             prior = prior_doc.get("queries", {})
             prior_calib = prior_doc.get("calib_sec")
-            prior_detail_total = prior_doc.get("detail_total_sec") or (
-                round(sum(prior.values()), 3) if prior else None
-            )
         except (json.JSONDecodeError, OSError):
             prior = {}
     detail_total = round(sum(times.values()), 3)
+    # the gate compares SHARED queries only: new queries inflate the
+    # raw total without any regression (and removals would mask one)
+    shared = times.keys() & prior.keys()
+    shared_total = round(sum(times[k] for k in shared), 3)
+    prior_shared_total = round(sum(prior[k] for k in shared), 3)
     regressions = find_regressions(times, prior, calib, prior_calib)
     advisories = find_advisories(times, prior, calib, prior_calib)
     total_warn = check_detail_total(
-        detail_total, prior_detail_total, calib, prior_calib
+        shared_total, prior_shared_total, calib, prior_calib
     )
     with open(detail_path, "w") as f:
         json.dump(

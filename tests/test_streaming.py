@@ -578,11 +578,18 @@ def test_stream_per_source_quota_matches_batch_rule(spark, tmp_path):
 
     spark.dataSource.register(DocGenDataSource)
     opts = {"n_docs": "400", "rows_per_batch": "80", "seed": 7}
+    # non-default column names: the operator must alias to its
+    # canonical (source, doc_id) BEFORE the stateful UDF ever runs
+    # (a past bug read the caller's id_col inside the UDF)
     stream = (
         spark.readStream.format("docgen").options(**opts).load()
-        .select("source", "doc_id")
+        .select(
+            F.col("source").alias("domain"), F.col("doc_id").alias("page_id")
+        )
     )
-    admitted = admit_per_source_quota(stream, cap=9)
+    admitted = admit_per_source_quota(
+        stream, cap=9, source_col="domain", id_col="page_id"
+    )
     q = (
         admitted.writeStream.format("memory")
         .queryName("quota_stream")
