@@ -1,3 +1,12 @@
+from aws_imdb_data_pipeline_spark.lifecycle.artifacts import (
+    artifact_dir,
+    ensure_artifact,
+    source_fingerprint,
+)
+from aws_imdb_data_pipeline_spark.lifecycle.retention import (
+    expire_runs,
+    list_run_partitions,
+)
 from aws_imdb_data_pipeline_spark.lifecycle.runs import (
     RunManifest,
     write_manifest,
@@ -14,6 +23,11 @@ from aws_imdb_data_pipeline_spark.lifecycle.warehouse import (
 )
 
 __all__ = [
+    "artifact_dir",
+    "ensure_artifact",
+    "source_fingerprint",
+    "expire_runs",
+    "list_run_partitions",
     "RunManifest",
     "write_manifest",
     "read_manifest",
