@@ -525,3 +525,77 @@ def remove_repeated_lines(
     return docs.select(id_col).join(rebuilt, id_col, "left").fillna(
         {text_col: ""}
     )
+
+
+def dup_span_coverage_metric(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span coverage (Lee et al. 2021's
+    exact-substring dup signal): for each document, the number of
+    word positions covered by k-word shingles that occur in at least
+    ``min_docs`` DISTINCT documents, plus the raw duplicated-shingle
+    count and the coverage fraction. Documents shorter than k words
+    report zero coverage.
+
+    Returns (id_col, n_words, n_dup_shingles, covered_tokens,
+    dup_token_frac). The shingle key is ``xxhash64`` of the k-word
+    slice — no shingle string is materialized, shuffle rows carry
+    8-byte keys (a 2^-64 collision merges two shingles' doc counts —
+    the standard trade). The per-doc interval union happens INSIDE
+    the aggregate (array_distinct over flattened sequences), bounded
+    by doc length, never global. ``dup_token_frac`` is an int/int
+    quotient — bitwise-stable across engines."""
+    words = F.split(F.col(text_col), " ")
+    sh = (
+        docs.filter(F.size(words) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - k),
+                    lambda i: F.xxhash64(F.slice(words, i + 1, k)),
+                )
+            ).alias("__p", "__sh"),
+        )
+    )
+    hot = (
+        sh.groupBy("__sh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__sh")
+    )
+    dup = (
+        sh.join(hot, "__sh", "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+            F.collect_list(
+                F.sequence(F.col("__p"), F.col("__p") + k - 1)
+            ).alias("__seqs"),
+        )
+        .select(
+            id_col,
+            "n_dup_shingles",
+            F.size(F.array_distinct(F.flatten("__seqs"))).cast("long").alias(
+                "covered_tokens"
+            ),
+        )
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
+    )
+    return base.join(dup, id_col, "left").select(
+        id_col,
+        "n_words",
+        F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        (
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_words")
+        ).alias("dup_token_frac"),
+    )

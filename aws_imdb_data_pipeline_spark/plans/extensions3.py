@@ -328,58 +328,14 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 5, 20), " ").alias("text"),
     )
     aug = docs.unionByName(excerpt)
-    words = F.split("text", " ")
-    sh = (
-        aug.filter(F.size(words) >= 10)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - 10),
-                    lambda i: F.xxhash64(F.slice(words, i + 1, 10)),
-                )
-            ).alias("__p", "__sh"),
-        )
-        # posexplode numbers array slots 0.., and slot i holds the
-        # shingle starting at word position i, so __p IS the position
-    )
-    hot = (
-        sh.groupBy("__sh")
-        .agg(F.countDistinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("__sh")
-    )
-    dup = (
-        sh.join(hot, "__sh", "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_shingles"),
-            F.collect_list(
-                F.sequence(F.col("__p"), F.col("__p") + 9)
-            ).alias("__seqs"),
-        )
-        .select(
-            "doc_id",
-            "n_dup_shingles",
-            F.size(F.array_distinct(F.flatten("__seqs"))).cast("long").alias(
-                "covered_tokens"
-            ),
-        )
-    )
-    base = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
-    )
-    return base.join(dup, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
-        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-        (
-            F.coalesce("covered_tokens", F.lit(0)).cast("double")
-            / F.col("n_words")
-        ).alias("dup_token_frac"),
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        dup_span_coverage_metric,
     )
 
+    metric = dup_span_coverage_metric(aug, "doc_id", "text", k=10, min_docs=2)
+    # report the metric for the ORIGINAL docs only (the excerpts are
+    # the planted ground truth, not corpus members)
+    return metric.filter(F.col("doc_id") < shift)
 
 @register(
     "dedup_truncated_prefix_pairs",

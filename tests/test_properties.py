@@ -370,3 +370,53 @@ def test_remove_repeated_lines_matches_python_reference(spark, docs, min_docs):
         ).collect()
     }
     assert got_hashed == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+@SLOW
+def test_dup_span_coverage_matches_python_reference(spark, docs, k):
+    """Random word-docs vs a direct Python model: a position is covered
+    iff some k-shingle window containing it occurs in >= 2 distinct
+    docs; counts, coverage union, and the int/int fraction all match;
+    docs shorter than k report zero."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        dup_span_coverage_metric,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def shingles(ws):
+        return [tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+    owners = {}
+    for i, ws in enumerate(docs):
+        for sh in set(shingles(ws)):
+            owners.setdefault(sh, set()).add(i)
+    hot = {sh for sh, o in owners.items() if len(o) >= 2}
+    want = {}
+    for i, ws in enumerate(docs):
+        positions = [
+            p for p, sh in enumerate(shingles(ws)) if sh in hot
+        ]
+        covered = set()
+        for p in positions:
+            covered.update(range(p, p + k))
+        want[i] = (len(ws), len(positions), len(covered))
+
+    got = {
+        r.doc_id: (r.n_words, r.n_dup_shingles, r.covered_tokens)
+        for r in dup_span_coverage_metric(
+            df, "doc_id", "text", k=k, min_docs=2
+        ).collect()
+    }
+    assert got == want
