@@ -599,3 +599,70 @@ def dup_span_coverage_metric(
             / F.col("n_words")
         ).alias("dup_token_frac"),
     )
+
+
+def trim_duplicated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACT half of :func:`dup_span_coverage_metric` (RefinedWeb /
+    Lee et al. span removal): delete every word position covered by a
+    k-word shingle that occurs in >= ``min_docs`` DISTINCT documents,
+    and reassemble the survivors in order. Docs shorter than k words
+    pass through untouched; a fully-duplicated doc survives with empty
+    text (a signal, same policy as remove_repeated_lines).
+
+    Plan: the hot-shingle detection is the metric kernel (hashed
+    8-byte shingle keys, one countDistinct shuffle); covered positions
+    explode from hot windows and anti-join the word table; per-doc
+    reassembly sorts (pos, word) structs INSIDE the aggregate — doc-
+    bounded, never global. Returns (id_col, text_col) rebuilt."""
+    words_arr = F.split(F.col(text_col), " ")
+    sh = (
+        docs.filter(F.size(words_arr) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words_arr) - k),
+                    lambda i: F.xxhash64(F.slice(words_arr, i + 1, k)),
+                )
+            ).alias("__p", "__sh"),
+        )
+    )
+    hot = (
+        sh.groupBy("__sh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__sh")
+    )
+    covered = (
+        sh.join(hot, "__sh", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + k - 1)
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    word_rows = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__w"),
+    )
+    kept = word_rows.join(covered, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__pos", "__w"))),
+                lambda x: x["__w"],
+            ),
+            " ",
+        ).alias(text_col)
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").fillna(
+        {text_col: ""}
+    )

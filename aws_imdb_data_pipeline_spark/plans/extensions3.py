@@ -522,3 +522,75 @@ def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("s_suppkey") % 7 == 0)
     )
+
+
+@register(
+    "corpus_trim_dup_spans",
+    oracle="""
+    WITH shift AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+    aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT s FROM shift),
+               array_to_string(string_split(text, ' ')[5:24], ' ')
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(ws[i+1 : i+10], ' ') AS sh
+        FROM w, LATERAL unnest(generate_series(0, len(ws) - 10)) AS t(i)
+        WHERE len(ws) >= 10
+    ),
+    hot AS (
+        SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT s.doc_id, p AS pos
+        FROM sh s JOIN hot h USING (sh),
+             LATERAL unnest(generate_series(s.pos, s.pos + 9)) AS c(p)
+    ),
+    words AS (
+        SELECT doc_id,
+               generate_subscripts(ws, 1) - 1 AS pos,
+               unnest(ws) AS wrd
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM aug)
+    ),
+    rebuilt AS (
+        SELECT wo.doc_id,
+               string_agg(wo.wrd, ' ' ORDER BY wo.pos) AS text
+        FROM words wo
+        LEFT JOIN covered c ON c.doc_id = wo.doc_id AND c.pos = wo.pos
+        WHERE c.doc_id IS NULL
+        GROUP BY wo.doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    """,
+    operators=("EXT-corpus", "EXT-dedup", "A10", "J-anti"),
+)
+def corpus_trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN removal (the ACT half of
+    dup_span_coverage — RefinedWeb/Lee et al. style): every word
+    position covered by a 10-word shingle occurring in >= 2 distinct
+    documents is deleted, survivors reassembled in order. Planted
+    interior excerpts (words 5-24 of every 6th doc under a shifted id)
+    are the cross-document duplicates; output is the ORIGINAL docs
+    with those interior spans cut out. The Spark side keys shingles on
+    xxhash64 (8-byte shuffle keys, no shingle strings); the oracle
+    rebuilds the identical semantics over raw text."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        trim_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded one-row scalar (disjoint id namespace) — the same
+    # plan-time-decision shape as the PQ probed-cell collect
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    excerpt = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 5, 20), " ").alias("text"),
+    )
+    aug = docs.unionByName(excerpt)
+    trimmed = trim_duplicated_spans(aug, "doc_id", "text", k=10, min_docs=2)
+    return trimmed.filter(F.col("doc_id") < shift)
