@@ -420,3 +420,52 @@ def test_dup_span_coverage_matches_python_reference(spark, docs, k):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+@SLOW
+def test_trim_duplicated_spans_matches_python_reference(spark, docs, k):
+    """The ACT twin of the coverage metric: every position inside a
+    cross-document hot k-shingle window is deleted, survivor order
+    preserved, short docs untouched, fully-duplicated docs empty."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        trim_duplicated_spans,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def shingles(ws):
+        return [tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+    owners = {}
+    for i, ws in enumerate(docs):
+        for sh in set(shingles(ws)):
+            owners.setdefault(sh, set()).add(i)
+    hot = {sh for sh, o in owners.items() if len(o) >= 2}
+    want = {}
+    for i, ws in enumerate(docs):
+        covered = set()
+        for p, sh in enumerate(shingles(ws)):
+            if sh in hot:
+                covered.update(range(p, p + k))
+        want[i] = " ".join(
+            w for p, w in enumerate(ws) if p not in covered
+        )
+
+    got = {
+        r.doc_id: r.text
+        for r in trim_duplicated_spans(
+            df, "doc_id", "text", k=k, min_docs=2
+        ).collect()
+    }
+    assert got == want
