@@ -527,6 +527,42 @@ def remove_repeated_lines(
     )
 
 
+
+def _hot_shingle_positions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_docs: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared kernel of the duplicated-span METRIC and TRIM operators:
+    position-indexed k-word shingles keyed on ``xxhash64`` of the word
+    slice (8-byte shuffle keys, no shingle strings), and the hot set
+    (keys occurring in >= ``min_docs`` DISTINCT docs). Returns
+    (sh, hot) where sh = (id_col, __p, __sh) and hot = (__sh).
+    NULL text contributes no shingles (it cannot reach k words)."""
+    words_arr = F.split(F.col(text_col), " ")
+    sh = (
+        docs.filter(F.size(words_arr) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words_arr) - k),
+                    lambda i: F.xxhash64(F.slice(words_arr, i + 1, k)),
+                )
+            ).alias("__p", "__sh"),
+        )
+    )
+    hot = (
+        sh.groupBy("__sh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__sh")
+    )
+    return sh, hot
+
+
 def dup_span_coverage_metric(
     docs: DataFrame,
     id_col: str,
@@ -548,26 +584,12 @@ def dup_span_coverage_metric(
     the standard trade). The per-doc interval union happens INSIDE
     the aggregate (array_distinct over flattened sequences), bounded
     by doc length, never global. ``dup_token_frac`` is an int/int
-    quotient — bitwise-stable across engines."""
-    words = F.split(F.col(text_col), " ")
-    sh = (
-        docs.filter(F.size(words) >= k)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - k),
-                    lambda i: F.xxhash64(F.slice(words, i + 1, k)),
-                )
-            ).alias("__p", "__sh"),
-        )
-    )
-    hot = (
-        sh.groupBy("__sh")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__sh")
-    )
+    quotient — bitwise-stable across engines.
+
+    NULL-text documents report n_words = 0 and zero coverage (they
+    cannot contain a shingle); the fraction is 0.0, never NULL or
+    negative."""
+    sh, hot = _hot_shingle_positions(docs, id_col, text_col, k, min_docs)
     dup = (
         sh.join(hot, "__sh", "left_semi")
         .groupBy(id_col)
@@ -585,16 +607,18 @@ def dup_span_coverage_metric(
             ),
         )
     )
-    base = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
-    )
+    # NULL-safe word count: size(split(NULL)) is -1, which would leak
+    # a negative n_words and fraction out of a public operator
+    n_words = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(F.split(F.col(text_col), " "))).cast("long")
+    base = docs.select(F.col(id_col), n_words.alias("n_words"))
     return base.join(dup, id_col, "left").select(
         id_col,
         "n_words",
         F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
         F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-        (
+        F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
             F.coalesce("covered_tokens", F.lit(0)).cast("double")
             / F.col("n_words")
         ).alias("dup_token_frac"),
@@ -613,32 +637,16 @@ def trim_duplicated_spans(
     k-word shingle that occurs in >= ``min_docs`` DISTINCT documents,
     and reassemble the survivors in order. Docs shorter than k words
     pass through untouched; a fully-duplicated doc survives with empty
-    text (a signal, same policy as remove_repeated_lines).
+    text (a signal, same policy as remove_repeated_lines). NULL text
+    comes back as '' — the same left-join + fill policy.
 
-    Plan: the hot-shingle detection is the metric kernel (hashed
-    8-byte shingle keys, one countDistinct shuffle); covered positions
-    explode from hot windows and anti-join the word table; per-doc
-    reassembly sorts (pos, word) structs INSIDE the aggregate — doc-
-    bounded, never global. Returns (id_col, text_col) rebuilt."""
-    words_arr = F.split(F.col(text_col), " ")
-    sh = (
-        docs.filter(F.size(words_arr) >= k)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words_arr) - k),
-                    lambda i: F.xxhash64(F.slice(words_arr, i + 1, k)),
-                )
-            ).alias("__p", "__sh"),
-        )
-    )
-    hot = (
-        sh.groupBy("__sh")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__sh")
-    )
+    Plan: the hot-shingle detection is the SHARED metric kernel
+    (_hot_shingle_positions — hashed 8-byte shingle keys, one
+    countDistinct shuffle); covered positions explode from hot windows
+    and anti-join the word table; per-doc reassembly sorts (pos, word)
+    structs INSIDE the aggregate — doc-bounded, never global. Returns
+    (id_col, text_col) rebuilt."""
+    sh, hot = _hot_shingle_positions(docs, id_col, text_col, k, min_docs)
     covered = (
         sh.join(hot, "__sh", "left_semi")
         .select(

@@ -337,6 +337,7 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the planted ground truth, not corpus members)
     return metric.filter(F.col("doc_id") < shift)
 
+
 @register(
     "dedup_truncated_prefix_pairs",
     oracle="""

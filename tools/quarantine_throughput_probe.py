@@ -46,13 +46,14 @@ from aws_imdb_data_pipeline_spark.sources.tsv import (  # noqa: E402
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     bad_pct = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
-    bad_every = max(int(100 / bad_pct), 1)
+    # bad_pct=0 is a valid clean-baseline run: plant nothing
+    bad_every = max(int(100 / bad_pct), 1) if bad_pct > 0 else None
     work = tempfile.mkdtemp(prefix="quarantine_probe_")
     src = os.path.join(work, "rows.tsv.gz")
     with gzip.open(src, "wt") as f:
         f.write("tconst\tyear\n")
         for i in range(n):
-            if i % bad_every == 0:
+            if bad_every is not None and i % bad_every == 0:
                 f.write(f"tt{i}\tnot_a_year_{i}\n")
             else:
                 f.write(f"tt{i}\t{1900 + i % 120}\n")
@@ -102,9 +103,16 @@ def main() -> None:
         "rows": n, "sec": sec_two,
     }), flush=True)
 
-    n_bad = spark.read.parquet(os.path.join(work, "q1")).count()
-    print(json.dumps({"planted_bad": n // bad_every + (1 if n else 0) - 1,
-                      "quarantined": n_bad}), flush=True)
+    try:
+        n_bad = spark.read.parquet(os.path.join(work, "q1")).count()
+    except Exception:  # zero bad rows -> no parquet written
+        n_bad = 0
+    planted = (n + bad_every - 1) // bad_every if bad_every else 0
+    print(json.dumps({"planted_bad": planted, "quarantined": n_bad,
+                      "workdir": work}), flush=True)
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
