@@ -56,3 +56,27 @@ def test_remove_repeated_lines_literal_separator(spark):
         ).collect()
     }
     assert out == {1: "keep me", 2: "other text"}
+
+
+def test_dup_span_metric_and_trim_null_text_contract(spark):
+    """NULL text never leaks negatives out of the public operators:
+    the metric reports n_words=0 / 0.0 fraction, trim returns ''."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        dup_span_coverage_metric,
+        trim_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d"), (3, "a b c d")],
+        "doc_id int, text string",
+    )
+    m = {r.doc_id: r for r in dup_span_coverage_metric(
+        docs, "doc_id", "text", k=2, min_docs=2
+    ).collect()}
+    assert (m[1].n_words, m[1].n_dup_shingles, m[1].covered_tokens) == (0, 0, 0)
+    assert m[1].dup_token_frac == 0.0
+    assert m[2].covered_tokens == 4 and m[2].dup_token_frac == 1.0
+    t = {r.doc_id: r.text for r in trim_duplicated_spans(
+        docs, "doc_id", "text", k=2, min_docs=2
+    ).collect()}
+    assert t == {1: "", 2: "", 3: ""}
