@@ -156,6 +156,16 @@ def cosine_topk_ivf(
     the query path only ranks centroids and scans the probed cells —
     training never belongs in a serve path at scale.
 
+    CONTRACT: when ``assignments`` is supplied, ``candidates`` is NOT
+    read — the candidate corpus IS the artifact (``assignments``
+    already carries every candidate's vector and cell), and the
+    ``candidates`` frame only supplies the SparkSession. Passing an
+    artifact built from a DIFFERENT corpus than the one you meant to
+    search returns answers from the artifact's corpus — undetectable
+    here (two frames' provenance isn't comparable), so keep artifact ↔
+    corpus pairing in the caller (the query wrappers key artifacts by
+    the corpus path + params fingerprint for exactly this reason).
+
     ``prune_lists=True`` (sensible only with a ``__list``-partitioned
     index artifact) collects the ≤ n_lists distinct probed cell ids —
     a plan-time decision bounded by the index's list count, the same

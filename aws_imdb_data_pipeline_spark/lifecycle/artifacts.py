@@ -54,8 +54,19 @@ def artifacts_root() -> str:
 
 
 def artifact_dir(kind: str, sf_dir: str) -> str:
+    """Artifact path for (kind, data dir).
+
+    Keyed by the data dir's basename PLUS a short hash of its absolute
+    path: two dirs sharing a basename (/a/sf0.1 and /b/sf0.1) would
+    otherwise share one artifact slot and — since the fingerprint embeds
+    the full source path — alternate callers would see a perpetually
+    stale fingerprint and rebuild on every switch (silent thrash, not
+    wrong results, but the whole point of an artifact is to not do
+    that). The basename stays in the key for human-debuggable paths."""
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    tag = hashlib.sha256(norm.encode()).hexdigest()[:8]
     return os.path.join(
-        artifacts_root(), kind, os.path.basename(os.path.normpath(sf_dir))
+        artifacts_root(), kind, f"{os.path.basename(norm)}-{tag}"
     )
 
 

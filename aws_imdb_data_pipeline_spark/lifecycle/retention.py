@@ -73,14 +73,28 @@ def expire_runs(
     vals = list_run_partitions(path, partition_col)
     kept, expired = vals[-keep_last:], vals[:-keep_last]
     reclaimed = 0
+    removed, failed = [], []
     for v in expired:
         part_dir = os.path.join(path, f"{partition_col}={v}")
-        reclaimed += _dir_bytes(part_dir)
-        if not dry_run:
-            shutil.rmtree(part_dir, ignore_errors=True)
+        size = _dir_bytes(part_dir)
+        if dry_run:
+            reclaimed += size
+            removed.append(v)
+            continue
+        # Count bytes only for partitions that are actually GONE after
+        # rmtree: a partial failure (permissions, open handle) must not
+        # inflate the reclamation report while the partition silently
+        # survives — surface it in "failed" instead.
+        shutil.rmtree(part_dir, ignore_errors=True)
+        if os.path.exists(part_dir):
+            failed.append(v)
+        else:
+            reclaimed += size
+            removed.append(v)
     return {
         "kept": kept,
-        "expired": expired,
+        "expired": removed,
+        "failed": failed,
         "reclaimed_bytes": reclaimed,
         "dry_run": dry_run,
     }

@@ -24,9 +24,7 @@ timeout like stateful.user_running_totals when quotas reset per epoch.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 ADMITTED_SCHEMA = StructType(
@@ -50,6 +48,11 @@ def admit_per_source_quota(
     a streaming frame via applyInPandasWithState (one long of state
     per source); on a batch frame the equivalent is
     ``top_n_per_group`` over the same (arrival ≡ id) order."""
+    # Deferred like every other heavy import in this package: importing
+    # the streaming package (e.g. for stream_to_lake) must not require
+    # pandas — only actually RUNNING this stateful operator does.
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         (n,) = state.get if state.exists else (0,)

@@ -18,9 +18,7 @@ whole dict into one value column.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -40,12 +38,10 @@ RUNNING_TOTALS_SCHEMA = StructType(
 _STATE_SCHEMA = "n_events LONG, total_value DOUBLE"
 
 
-# user-facing timeout names → GroupStateTimeout constants
-_TIMEOUTS = {
-    "NoTimeout": GroupStateTimeout.NoTimeout,
-    "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
-    "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
-}
+# user-facing timeout names; resolved to GroupStateTimeout constants
+# lazily so importing this module (via streaming/__init__) never pulls
+# pandas / the state-server modules — only running an operator does
+_TIMEOUT_NAMES = ("NoTimeout", "ProcessingTimeTimeout", "EventTimeTimeout")
 
 
 def user_running_totals(
@@ -66,10 +62,12 @@ def user_running_totals(
     idle for ``timeout_duration_ms`` are dropped; EventTimeTimeout
     expires against the stream's watermark.
     """
-    if timeout not in _TIMEOUTS:
+    if timeout not in _TIMEOUT_NAMES:
         raise ValueError(
-            f"timeout must be one of {sorted(_TIMEOUTS)}, got {timeout!r}"
+            f"timeout must be one of {sorted(_TIMEOUT_NAMES)}, got {timeout!r}"
         )
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         if timeout != "NoTimeout" and state.hasTimedOut:
@@ -93,7 +91,7 @@ def user_running_totals(
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=_TIMEOUTS[timeout],
+        timeoutConf=getattr(GroupStateTimeout, timeout),
     )
 
 
@@ -142,6 +140,7 @@ def user_event_type_counts(
             "(pyspark's state-server protocol); install protobuf or use "
             "user_running_totals (applyInPandasWithState) instead"
         ) from exc
+    import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

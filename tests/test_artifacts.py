@@ -117,3 +117,14 @@ def test_self_marking_build_contract(src_file, tmp_path, monkeypatch):
         ensure_artifact(
             "forgot", "/data/sf0.01", src_file, {}, forgetful, meta_reader=reader
         )
+
+
+def test_same_basename_different_parents_get_distinct_slots():
+    """Two data dirs sharing a basename must not share an artifact slot:
+    with one slot, the full-path fingerprint makes every alternating
+    caller see a stale marker and rebuild — silent thrash."""
+    a = artifact_dir("demo", "/somewhere/a/sf0.1")
+    b = artifact_dir("demo", "/somewhere/b/sf0.1")
+    assert a != b
+    assert os.path.basename(a).startswith("sf0.1")
+    assert os.path.basename(b).startswith("sf0.1")

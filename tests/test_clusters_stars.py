@@ -72,5 +72,10 @@ def test_stars_nonconvergence_signals(spark):
     with pytest.warns(RuntimeWarning, match="did not converge"):
         connected_components_stars(pairs, max_rounds=1).collect()
     # and validate catches the split labeling the early exit produced
-    with pytest.raises(RuntimeError, match="validation failed"):
-        connected_components_stars(pairs, max_rounds=1, validate=True).collect()
+    # (the non-strict path warns first, then validation raises — assert
+    # the warning too so it never leaks into the suite summary)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        with pytest.raises(RuntimeError, match="validation failed"):
+            connected_components_stars(
+                pairs, max_rounds=1, validate=True
+            ).collect()

@@ -229,6 +229,9 @@ def test_retention_expires_old_runs_keeps_latest(spark, tmp_path):
 
     out = expire_runs(lake, keep_last=2)
     assert out["kept"] == ["2024-01-03", "2024-01-04"]
+    assert out["expired"] == ["2024-01-01", "2024-01-02"]
+    assert out["failed"] == []  # bytes counted only for verified-gone dirs
+    assert out["reclaimed_bytes"] == plan["reclaimed_bytes"]
     assert list_run_partitions(lake) == ["2024-01-03", "2024-01-04"]
     assert not os.path.isdir(os.path.join(lake, "run_date=2024-01-01"))
 
