@@ -528,21 +528,18 @@ def remove_repeated_lines(
 
 
 
-def _hot_shingle_positions(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int,
-    min_docs: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared kernel of the duplicated-span METRIC and TRIM operators:
-    position-indexed k-word shingles keyed on ``xxhash64`` of the word
-    slice (8-byte shuffle keys, no shingle strings), and the hot set
-    (keys occurring in >= ``min_docs`` DISTINCT docs). Returns
-    (sh, hot) where sh = (id_col, __p, __sh) and hot = (__sh).
-    NULL text contributes no shingles (it cannot reach k words)."""
+def shingle_positions(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Position-indexed k-word shingles keyed on ``xxhash64`` of the
+    word slice (8-byte shuffle keys, no shingle strings) —
+    (id_col, __p, __sh). NULL text contributes no shingles (it cannot
+    reach k words). This posexplode + per-window hash transform is the
+    dominant cost of the span operators; callers that consume it more
+    than once should compute the hot set ONCE (``hot_shingles``, or
+    better a persisted artifact) and inject it."""
     words_arr = F.split(F.col(text_col), " ")
-    sh = (
+    return (
         docs.filter(F.size(words_arr) >= k)
         .select(
             F.col(id_col),
@@ -554,12 +551,52 @@ def _hot_shingle_positions(
             ).alias("__p", "__sh"),
         )
     )
-    hot = (
+
+
+def hot_shingles(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The HOT-shingle set — (__sh,) keys occurring in >= ``min_docs``
+    DISTINCT documents. One shingle pass + one countDistinct shuffle.
+
+    This set is per-corpus-version (it only changes when the corpus
+    does), so at scale it is an INDEX ARTIFACT: build it once via
+    ``lifecycle.artifacts.ensure_artifact``, persist the one column of
+    longs as parquet, and pass it as ``hot=`` to the metric/trim
+    operators — each then makes exactly ONE shingle pass and joins
+    against a table that is tiny relative to the corpus (duplicated
+    shingles only). The registered queries do exactly this
+    (plans/extensions3.py); SCALE.md §23 measures the crossover."""
+    sh = shingle_positions(docs, id_col, text_col, k)
+    return (
         sh.groupBy("__sh")
         .agg(F.countDistinct(id_col).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("__sh")
     )
+
+
+def _hot_shingle_positions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_docs: int,
+    hot: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared kernel of the duplicated-span METRIC and TRIM operators:
+    the shingle table plus the hot set. With ``hot`` injected (the
+    artifact path) the expensive shingle transform is planned exactly
+    once per call; without it, Spark recomputes the shingle subtree
+    for both the hot aggregate and the consumer join — correct, but
+    2× the dominant cost, so the one-shot form is for ad-hoc use."""
+    sh = shingle_positions(docs, id_col, text_col, k)
+    if hot is None:
+        hot = hot_shingles(docs, id_col, text_col, k, min_docs)
     return sh, hot
 
 
@@ -569,6 +606,7 @@ def dup_span_coverage_metric(
     text_col: str,
     k: int = 10,
     min_docs: int = 2,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span coverage (Lee et al. 2021's
     exact-substring dup signal): for each document, the number of
@@ -588,8 +626,15 @@ def dup_span_coverage_metric(
 
     NULL-text documents report n_words = 0 and zero coverage (they
     cannot contain a shingle); the fraction is 0.0, never NULL or
-    negative."""
-    sh, hot = _hot_shingle_positions(docs, id_col, text_col, k, min_docs)
+    negative.
+
+    ``hot`` optionally injects a precomputed hot-shingle set (see
+    :func:`hot_shingles` — at scale, a persisted per-corpus-version
+    artifact): with it the dominant shingle transform runs ONCE per
+    call instead of twice."""
+    sh, hot = _hot_shingle_positions(
+        docs, id_col, text_col, k, min_docs, hot
+    )
     dup = (
         sh.join(hot, "__sh", "left_semi")
         .groupBy(id_col)
@@ -631,6 +676,7 @@ def trim_duplicated_spans(
     text_col: str,
     k: int = 10,
     min_docs: int = 2,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """The ACT half of :func:`dup_span_coverage_metric` (RefinedWeb /
     Lee et al. span removal): delete every word position covered by a
@@ -645,8 +691,12 @@ def trim_duplicated_spans(
     countDistinct shuffle); covered positions explode from hot windows
     and anti-join the word table; per-doc reassembly sorts (pos, word)
     structs INSIDE the aggregate — doc-bounded, never global. Returns
-    (id_col, text_col) rebuilt."""
-    sh, hot = _hot_shingle_positions(docs, id_col, text_col, k, min_docs)
+    (id_col, text_col) rebuilt. ``hot`` injects a precomputed
+    hot-shingle set (one shingle pass instead of two — see
+    :func:`hot_shingles`)."""
+    sh, hot = _hot_shingle_positions(
+        docs, id_col, text_col, k, min_docs, hot
+    )
     covered = (
         sh.join(hot, "__sh", "left_semi")
         .select(
