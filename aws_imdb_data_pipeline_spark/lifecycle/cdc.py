@@ -139,6 +139,94 @@ def apply_changelog(
     return kept.unionByName(wins)
 
 
+def scd2_from_changelog(
+    changelog: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    attr_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Full SCD2 validity-interval HISTORY from a CDC changelog — the
+    warehouse-history pattern a staged DELETE+INSERT reload (the
+    reference's `airflow/dags/imdb_batch_pipeline.py:217,246,280`
+    refresh) cannot express: it overwrites, so yesterday's attribute
+    values are gone.
+
+    Per key, ordered by ``seq_cols``: consecutive duplicate states
+    collapse; a delete op CLOSES the current interval (no output row
+    of its own); a later re-insert opens a NEW interval even when the
+    value equals the pre-delete state (the entity was absent in
+    between). Returns keys + ``attr_cols`` +
+    (valid_from, valid_to, is_current, version), where
+    valid_from/valid_to carry ``seq_cols[0]`` (the timestamp;
+    remaining seq cols are ordering tiebreaks), valid_to is NULL for
+    open intervals, and version is the 1-based ordinal of the key's
+    LIVE intervals.
+
+    REPLAY-SAFE by construction: the history is a pure function of the
+    changelog SET — duplicate deliveries of the same (key, seq) row
+    are collapsed first, and every window orders by the full sequence
+    — so out-of-order or re-delivered slices yield bit-identical
+    history (property-tested).
+
+    Plan shape: the heavy lifting is :func:`operators.scd.scd2_compress`
+    over a composite state struct (live flag + attrs, attrs nulled on
+    deletes so delete↔live transitions always count as changes). Every
+    window hash-partitions on the SAME key struct, so the whole history
+    build is ONE shuffle on the keys — no joins, no driver iteration;
+    at 100 TB this is strictly cheaper than the snapshot-diff
+    alternative (which shuffles two full snapshots per refresh)."""
+    from aws_imdb_data_pipeline_spark.operators.scd import scd2_compress
+
+    live = F.col(op_col) != delete_op
+    obs = (
+        changelog.withColumn("__key", F.struct(*keys))
+        .withColumn("__seq", F.struct(*seq_cols))
+        .withColumn(
+            "__state",
+            F.struct(
+                live.alias("__live"),
+                *[F.when(live, F.col(c)).alias(c) for c in attr_cols],
+            ),
+        )
+    )
+    # exactly-once reduction: re-delivered copies of the same
+    # (key, seq) changelog row collapse to one observation. Done as a
+    # lag-on-seq filter under the SAME key-only partitioning the
+    # compression windows use — a (key, seq)-partitioned dedup would
+    # cost a second hash exchange (ordering by op + attrs keeps the
+    # survivor deterministic even for a malformed feed that ships
+    # CONFLICTING rows at one sequence)
+    w_dedup = Window.partitionBy("__key").orderBy(
+        "__seq", F.col(op_col), *[F.col(c) for c in attr_cols]
+    )
+    obs = (
+        obs.withColumn("__prev_seq", F.lag("__seq").over(w_dedup))
+        .filter(~F.col("__seq").eqNullSafe(F.col("__prev_seq")))
+        .drop("__prev_seq")
+        .withColumn("__tb", F.lit(0))
+    )
+    hist = scd2_compress(
+        obs, key_col="__key", attr_col="__state", ts_col="__seq",
+        tiebreak_col="__tb",
+    )
+    # deletes exist only to CLOSE intervals (scd2_compress's lead
+    # already consumed them); live intervals renumber without them
+    w_live = Window.partitionBy("__key").orderBy("__seq")
+    return (
+        hist.filter(F.col("__state.__live"))
+        .select(
+            *keys,
+            *[F.col(f"__state.{c}").alias(c) for c in attr_cols],
+            F.col(f"effective_from.{seq_cols[0]}").alias("valid_from"),
+            F.col(f"effective_to.{seq_cols[0]}").alias("valid_to"),
+            "is_current",
+            F.row_number().over(w_live).alias("version"),
+        )
+    )
+
+
 def compact_tombstones(
     snapshot: DataFrame,
     seq_cols: list[str],

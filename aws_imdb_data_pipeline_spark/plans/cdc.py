@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_imdb_data_pipeline_spark.lifecycle.cdc import apply_changelog, latest_state
+from aws_imdb_data_pipeline_spark.lifecycle.cdc import (
+    apply_changelog,
+    latest_state,
+    scd2_from_changelog,
+)
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
@@ -118,3 +122,60 @@ def cdc_apply_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot, stale, ["user_id"], ["ts", "event_id"], resolve_by_seq=True
     )
     return _present(merged.filter(F.col("op") != "D").drop("op"))
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id,
+               event_type <> 'error' AS live,
+               CASE WHEN event_type <> 'error' THEN event_type END
+                   AS event_type,
+               CASE WHEN event_type <> 'error' THEN value END AS value
+        FROM events
+    ), marked AS (
+        SELECT *,
+               lag(live)       OVER w AS p_live,
+               lag(event_type) OVER w AS p_et,
+               lag(value)      OVER w AS p_val
+        FROM log
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), kept AS (
+        SELECT * FROM marked
+        WHERE live IS DISTINCT FROM p_live
+           OR event_type IS DISTINCT FROM p_et
+           OR value IS DISTINCT FROM p_val
+    ), iv AS (
+        SELECT user_id, live, event_type, value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM kept
+    )
+    SELECT user_id, event_type, value, valid_from, valid_to,
+           valid_to IS NULL AS is_current,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY valid_from) AS INTEGER)
+               AS version
+    FROM iv WHERE live
+    """,
+    operators=("L-cdc", "L-scd2", "W4", "W2"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → full SCD2 HISTORY (lifecycle.cdc.scd2_from_changelog):
+    validity intervals per user over (event_type, value) state, deletes
+    (the error tombstone) CLOSING intervals, re-inserts opening new ones
+    even at an unchanged value, versions counting live intervals only.
+    The warehouse-history form the reference's staged DELETE+INSERT
+    reload cannot express — it overwrites, so prior attribute values
+    are lost. One hash shuffle on the key (all windows share the key
+    partitioning); replay-safe (same history for re-delivered or
+    out-of-order slices — property-tested in tests/test_cdc.py)."""
+    ev = _as_changelog(load_table(spark, sf_dir, "events"))
+    return scd2_from_changelog(
+        ev,
+        keys=["user_id"],
+        seq_cols=["ts", "event_id"],
+        attr_cols=["event_type", "value"],
+    )
