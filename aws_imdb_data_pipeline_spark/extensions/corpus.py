@@ -724,3 +724,49 @@ def trim_duplicated_spans(
     return docs.select(id_col).join(rebuilt, id_col, "left").fillna(
         {text_col: ""}
     )
+
+
+def crawl_diff(
+    cur: DataFrame,
+    nxt: DataFrame,
+    id_col: str,
+    text_col: str,
+    fingerprint: bool = False,
+) -> DataFrame:
+    """Crawl-version diff: classify every document across two corpus
+    versions as added / removed / changed / unchanged — (id_col,
+    status). FULL OUTER join on the id (neither side may be dropped:
+    unmatched current rows are 'removed', unmatched next rows 'added').
+
+    ``fingerprint=True`` is the 100 TB form: both sides project to
+    (id, xxhash64(text)) BEFORE the join, so shuffle rows carry 16
+    bytes instead of document bodies — the dedup_incremental_exact
+    pattern. A 2^-64 hash collision misreports one changed doc as
+    unchanged (the standard fingerprint trade, same as every hashed
+    operator here); equivalence vs the raw-text compare is tested.
+    NULL-text contract: NULL ≡ NULL counts as 'unchanged' in BOTH
+    modes (raw compare is null-safe; xxhash64 maps NULL to the seed,
+    which is likewise self-equal) — an absent body in both versions is
+    not a change.
+    When both versions are bucketed by the id (SCALE.md §24), the
+    join plans with ZERO exchanges — the diff never shuffles at all."""
+    cmp_cur = (
+        F.xxhash64(F.col(text_col)) if fingerprint else F.col(text_col)
+    )
+    c = cur.select(
+        F.col(id_col).alias("__cid"), cmp_cur.alias("__ct")
+    )
+    cmp_nxt = (
+        F.xxhash64(F.col(text_col)) if fingerprint else F.col(text_col)
+    )
+    n = nxt.select(
+        F.col(id_col).alias("__nid"), cmp_nxt.alias("__nt")
+    )
+    return c.join(n, c["__cid"] == n["__nid"], "full_outer").select(
+        F.coalesce("__cid", "__nid").alias(id_col),
+        F.when(F.col("__cid").isNull(), "added")
+        .when(F.col("__nid").isNull(), "removed")
+        .when(F.col("__ct").eqNullSafe(F.col("__nt")), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )

@@ -495,11 +495,17 @@ def crawl_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched rows from both classify). The next version is derived
     deterministically (every 13th doc's text updated, every 17th
     removed, every 19th re-added under a fresh id) so the oracle
-    rebuilds it exactly. At 100 TB the text-equality compare carries
-    ``xxhash64(text)`` 8-byte fingerprints through the join instead of
-    document bodies (the dedup_incremental_exact pattern) and both
-    sides shuffle once on doc_id — or zero times when the corpus
-    versions are bucketed by doc_id (§17)."""
+    rebuilds it exactly. Runs in the 100 TB form
+    (extensions.corpus.crawl_diff with ``fingerprint=True``): the
+    text-equality compare carries ``xxhash64(text)`` 8-byte
+    fingerprints through the join instead of document bodies (the
+    dedup_incremental_exact pattern; a 2^-64 collision misreports one
+    changed doc as unchanged — the standard trade, equivalence vs the
+    raw compare is tested) and both sides shuffle once on doc_id — or
+    ZERO times when the corpus versions are bucketed by doc_id
+    (measured, SCALE.md §24)."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import crawl_diff
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # bounded one-row scalar (disjoint id namespace) — the same
     # plan-time-decision shape as the PQ probed-cell collect
@@ -518,20 +524,7 @@ def crawl_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    c = docs.select(
-        F.col("doc_id").alias("__cid"), F.col("text").alias("__ct")
-    )
-    n = nxt.select(
-        F.col("doc_id").alias("__nid"), F.col("text").alias("__nt")
-    )
-    j = c.join(n, c["__cid"] == n["__nid"], "full_outer").select(
-        F.coalesce("__cid", "__nid").alias("doc_id"),
-        F.when(F.col("__cid").isNull(), "added")
-        .when(F.col("__nid").isNull(), "removed")
-        .when(F.col("__ct") == F.col("__nt"), "unchanged")
-        .otherwise("changed")
-        .alias("status"),
-    )
+    j = crawl_diff(docs, nxt, "doc_id", "text", fingerprint=True)
     return j.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
