@@ -147,7 +147,7 @@ def cdc_apply_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR event_type IS DISTINCT FROM p_et
            OR value IS DISTINCT FROM p_val
     ), iv AS (
-        SELECT user_id, live, event_type, value,
+        SELECT user_id, live, event_type, value, event_id,
                ts AS valid_from,
                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS valid_to
@@ -156,7 +156,8 @@ def cdc_apply_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type, value, valid_from, valid_to,
            valid_to IS NULL AS is_current,
            CAST(row_number() OVER (
-               PARTITION BY user_id ORDER BY valid_from) AS INTEGER)
+               PARTITION BY user_id
+               ORDER BY valid_from, event_id) AS INTEGER)
                AS version
     FROM iv WHERE live
     """,

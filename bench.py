@@ -246,8 +246,9 @@ def main() -> None:
             drift[name] = {
                 "n": len(norms),
                 "norm_p50": round(statistics.median(norms), 3),
-                # with <=3 samples the 95th percentile is the max
-                "norm_p95": round(norms[-1], 3),
+                # honest name: with a <=3-deep history this IS the max,
+                # not a percentile estimate (round-7 ADVICE)
+                "norm_max": round(norms[-1], 3),
             }
     with open(detail_path, "w") as f:
         json.dump(

@@ -121,13 +121,18 @@ def test_crawl_diff_bucketed_versions_zero_exchange(spark, tmp_path):
         "id AS doc_id",
         "IF(id % 13 = 0, concat('body-', id, ' updated'),"
         " concat('body-', id)) AS text")
-    for name, df in (("cdiff_cur", cur), ("cdiff_nxt", nxt)):
+    # per-run unique table names: the catalog warehouse is shared, so a
+    # fixed name would collide under pytest-xdist or a concurrent bench
+    # run (round-7 ADVICE)
+    tok = abs(hash(str(tmp_path))) % 10**8
+    t_cur, t_nxt = f"cdiff_cur_{tok}", f"cdiff_nxt_{tok}"
+    for name, df in ((t_cur, cur), (t_nxt, nxt)):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (df.write.bucketBy(8, "doc_id").sortBy("doc_id")
            .mode("overwrite").saveAsTable(name))
     try:
         j = crawl_diff(
-            spark.table("cdiff_cur"), spark.table("cdiff_nxt"),
+            spark.table(t_cur), spark.table(t_nxt),
             "doc_id", "text", fingerprint=True,
         )
         plan = j._jdf.queryExecution().executedPlan().toString()
@@ -135,5 +140,5 @@ def test_crawl_diff_bucketed_versions_zero_exchange(spark, tmp_path):
         counts = {r.status: r["count"] for r in j.groupBy("status").count().collect()}
         assert counts == {"changed": 154, "unchanged": 1846}
     finally:
-        spark.sql("DROP TABLE IF EXISTS cdiff_cur")
-        spark.sql("DROP TABLE IF EXISTS cdiff_nxt")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cur}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_nxt}")

@@ -58,6 +58,10 @@ def main() -> None:
     from aws_imdb_data_pipeline_spark.extensions.corpus import crawl_diff
 
     work = tempfile.mkdtemp(prefix="crawl_diff_probe_")
+    # per-run unique table names so a concurrent test/bench run on the
+    # shared warehouse can't collide (round-7 ADVICE)
+    tok = os.path.basename(work).rsplit("_", 1)[-1]
+    t_cur, t_nxt = f"cdp_cur_{tok}", f"cdp_nxt_{tok}"
     body = (
         "concat('body ', id, ' ',"
         " repeat(concat('w', pmod(id, 97), ' '), 200))"  # ~1 KB
@@ -86,15 +90,15 @@ def main() -> None:
         timed("plain_rawtext", lambda: run(False))
         timed("plain_fingerprint", lambda: run(True))
 
-        for name, df in (("cdp_cur", c), ("cdp_nxt", x)):
+        for name, df in (((t_cur), c), ((t_nxt), x)):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         t_bwrite = timed("bucketed_write_both", lambda: [
             df.write.bucketBy(32, "doc_id").sortBy("doc_id")
               .mode("overwrite").saveAsTable(name)
-            for name, df in (("cdp_cur", c), ("cdp_nxt", x))
+            for name, df in (((t_cur), c), ((t_nxt), x))
         ], trials=1)
         j = crawl_diff(
-            spark.table("cdp_cur"), spark.table("cdp_nxt"),
+            spark.table(t_cur), spark.table(t_nxt),
             "doc_id", "text", fingerprint=True,
         )
         plan = j._jdf.queryExecution().executedPlan().toString()
@@ -111,8 +115,8 @@ def main() -> None:
             "bucketed_write_sec": t_bwrite,
         }), flush=True)
     finally:
-        spark.sql("DROP TABLE IF EXISTS cdp_cur")
-        spark.sql("DROP TABLE IF EXISTS cdp_nxt")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cur}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_nxt}")
         shutil.rmtree(work, ignore_errors=True)
 
 
