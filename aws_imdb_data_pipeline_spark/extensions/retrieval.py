@@ -17,10 +17,12 @@ Scale shape (the part that matters at 100 TB):
 - the QUERY side is small by definition (a query batch), so the
   index probe is a broadcast hash join of query terms against the
   posting frame — the corpus never reshuffles per query batch;
-- in steady state the posting/statistic frames are a per-corpus-
-  version artifact (write tf/df/dl once via lifecycle.artifacts,
-  exactly like the MinHash band index) and each query batch pays only
-  the broadcast probe + one (query, doc) aggregate.
+- in steady state the posting/statistic frames are the per-corpus-
+  version token-stats artifact (extensions.tokenindex — tf/df/dl
+  persisted once, N/avgdl exact integers in the marker) and each
+  query batch pays only the broadcast probe + one (query, doc)
+  aggregate. Pass the artifact via ``corpus=`` to get that path;
+  crossover measured in SCALE.md §25.
 """
 
 from __future__ import annotations
@@ -37,42 +39,18 @@ def _tokens(text_col: str) -> "F.Column":
     )
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    qid_col: str = "query_id",
-    qtext_col: str = "qtext",
-    k: int = 5,
-    k1: float = 1.2,
-    b: float = 0.75,
-    round_to: int = 4,
-) -> DataFrame:
-    """BM25 top-k documents per query —
-    (qid_col, rank, id_col, score).
+def bm25_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One-pass BM25 corpus statistics from raw text: (tf, dfreq,
+    stats) where tf = (id, __t, __tf, __dl), dfreq = (__t, __df),
+    stats = 1-row (__n, __avgdl).
 
-    Okapi BM25 (Robertson et al.), the standard smoothed form:
-
-        idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
-        score(q,d)= Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
-                                 (tf + k1·(1 − b + b·dl/avgdl))
-
-    Query terms are DISTINCT (the qtf=1 convention — web queries
-    rarely repeat terms; repeatals would just scale a term's
-    contribution). Ranking orders by (round(score, round_to) DESC,
-    id_col): rounding the transcendental before ranking is the float
-    policy move that makes the order engine-portable (ln differs in
-    the last ulp across libm implementations; at 4 decimals a flip
-    needs the true score within ~1e-12 of a rounding boundary), and
-    the id tiebreak makes equal-score ranks deterministic.
-
-    Plan: tf/df/dl are map-side-combinable aggregates over the corpus
-    (shuffles keyed on (doc, term) then (term)); N and avgdl attach as
-    one-row broadcast scalars; query terms broadcast into the posting
-    join, so the corpus-side frames never reshuffle per query batch;
-    the final (query, doc) aggregate + per-query top-k window carry
-    only matched postings."""
+    N and avgdl derive from the tf frame plus a tokenize-free COUNT(*)
+    over docs (column-pruned scan) — NOT a second tokenized corpus
+    scan (the round-7 ADVICE finding). Zero-token documents have no tf
+    rows but still count toward N and the avgdl denominator, matching
+    AVG(token_count) over all documents."""
     words = _tokens(text_col)
     toks = docs.select(
         F.col(id_col), F.size(words).alias("__dl"),
@@ -82,14 +60,44 @@ def bm25_topk(
         F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
     dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
-    stats = docs.select(F.size(_tokens(text_col)).alias("__len")).agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__len").alias("__avgdl")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    stats = (
+        tf.groupBy(id_col)
+        .agg(F.first("__dl").alias("__dl"))
+        .agg(F.coalesce(F.sum("__dl"), F.lit(0)).alias("__s"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("__n", (F.col("__s") / F.col("__n")).alias("__avgdl"))
     )
+    return tf, dfreq, stats
+
+
+def bm25_scores(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 (query, doc) scores from prepared corpus frames —
+    (qid_col, id_col, score). ``stats`` is either a 1-row DataFrame
+    (__n, __avgdl) or an (n_docs, avgdl) scalar tuple (the artifact
+    path: exact marker integers, no scan)."""
     qterms = queries.select(
         F.col(qid_col), F.explode(_tokens(qtext_col)).alias("__t")
     ).distinct()
-
-    posting = tf.join(dfreq, "__t").crossJoin(F.broadcast(stats))
+    posting = tf.join(dfreq, "__t")
+    if isinstance(stats, DataFrame):
+        posting = posting.crossJoin(F.broadcast(stats))
+    else:
+        n_docs, avgdl = stats
+        posting = posting.withColumns(
+            {"__n": F.lit(int(n_docs)), "__avgdl": F.lit(float(avgdl))}
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n") - F.col("__df") + F.lit(0.5))
@@ -102,11 +110,63 @@ def bm25_topk(
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
     )
-    scored = (
+    return (
         posting.join(F.broadcast(qterms), "__t")
         .groupBy(qid_col, id_col)
         .agg(F.round(F.sum(idf * tf_norm), round_to).alias("score"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 4,
+    corpus: tuple[DataFrame, DataFrame, tuple[int, float]] | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 top-k documents per query —
+    (qid_col, rank, id_col, score).
+
+    Okapi BM25 (Robertson et al.), the standard smoothed form:
+
+        idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(q,d)= Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
+                                 (tf + k1·(1 − b + b·dl/avgdl))
+
+    Query terms are DISTINCT (the qtf=1 convention — web queries
+    rarely repeat terms; repeats would just scale a term's
+    contribution). Ranking orders by (round(score, round_to) DESC,
+    id_col): rounding the transcendental before ranking is the float
+    policy move that makes the order engine-portable (ln differs in
+    the last ulp across libm implementations; at 4 decimals a flip
+    needs the true score within ~1e-12 of a rounding boundary), and
+    the id tiebreak makes equal-score ranks deterministic.
+
+    ``corpus`` short-circuits the statistics build with prepared
+    (tf, dfreq, (n_docs, avgdl)) — the token-stats-artifact serve
+    path (extensions.tokenindex): persisted posting frames + exact
+    marker scalars, so a query batch never re-tokenizes the corpus.
+    ``exclude_self`` drops the qid==doc_id posting rows before the
+    aggregate — hard-negative mining (the gold document must not
+    appear in its own negative list)."""
+    if corpus is not None:
+        tf, dfreq, stats = corpus
+    else:
+        tf, dfreq, stats = bm25_corpus(docs, id_col, text_col)
+    scored = bm25_scores(
+        tf, dfreq, stats, queries,
+        id_col=id_col, qid_col=qid_col, qtext_col=qtext_col,
+        k1=k1, b=b, round_to=round_to,
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(qid_col) != F.col(id_col))
     from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
 
     top = top_n_per_group(

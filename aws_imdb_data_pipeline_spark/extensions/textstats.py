@@ -169,6 +169,51 @@ def top_terms_per_doc(
     )
 
 
+def top_terms_from_stats(
+    tfl: DataFrame,
+    dfl: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """top_terms_per_doc served from the token-stats artifact
+    (extensions.tokenindex): ``tfl`` = (id, lword, tf), ``dfl`` =
+    (lword, df), ``n_docs`` the exact marker integer. Same output
+    contract (id, word, tf, dfreq, tfidf) and the same integer rank
+    key (tf DESC, word ASC); the corpus is never re-tokenized."""
+    from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+
+    scored = (
+        tfl.select(
+            F.col(id_col), F.col("lword").alias("word"), "tf"
+        )
+        .join(
+            dfl.select(F.col("lword").alias("word"), F.col("df").alias("dfreq")),
+            "word",
+        )
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(int(n_docs)) + F.lit(1.0))
+                        / (F.col("dfreq") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                4,
+            ),
+        )
+    )
+    return top_n_per_group(
+        scored.select(id_col, "word", "tf", "dfreq", "tfidf"),
+        partition_by=[id_col],
+        order_by=[F.desc("tf"), F.col("word")],
+        n=k,
+    )
+
+
 def bpe_merge_candidates(
     df: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:
@@ -360,18 +405,26 @@ def unigram_lm_scores(
     words = df.select(
         F.col(id_col), F.explode(_words(text_col)).alias("__w")
     ).filter(F.col("__w") != "")
-    vocab = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    tf = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    vocab = tf.groupBy("__w").agg(F.sum("__tf").alias("__c"))
     total = vocab.agg(F.sum("__c").alias("__n")).select("__n")
-    scored = (
-        words.join(vocab, "__w")
-        .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.round(
-                F.sum(F.log(F.col("__c") / F.col("__n"))), 4
-            ).alias("sum_logprob"),
-        )
+    return _lm_score_tf(
+        tf.join(vocab, "__w").crossJoin(F.broadcast(total)), id_col
+    )
+
+
+def _lm_score_tf(joined: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc LM aggregate over a (id, __tf, __c, __n) frame: the
+    tf-WEIGHTED form Σ_t tf·ln(c_t/N) — algebraically the per-
+    occurrence sum, but carrying one row per DISTINCT (doc, term), so
+    the scoring join and aggregate shrink by each document's
+    repetition factor (the artifact serve path depends on this: the
+    persisted tf frame has no per-occurrence rows to sum over)."""
+    scored = joined.groupBy(id_col).agg(
+        F.sum("__tf").alias("n_words"),
+        F.round(
+            F.sum(F.col("__tf") * F.log(F.col("__c") / F.col("__n"))), 4
+        ).alias("sum_logprob"),
     )
     return scored.select(
         id_col,
@@ -379,3 +432,34 @@ def unigram_lm_scores(
         "sum_logprob",
         (F.col("sum_logprob") / F.col("n_words")).alias("avg_logprob"),
     )
+
+
+def unigram_lm_scores_from_tf(
+    tf: DataFrame,
+    vocab: DataFrame,
+    total_tokens: int,
+    id_col: str = "doc_id",
+    word_col: str = "word",
+    tf_col: str = "tf",
+    c_col: str = "c",
+) -> DataFrame:
+    """unigram_lm_scores served from prepared term-frequency frames
+    (the token-stats artifact, extensions.tokenindex): ``tf`` =
+    (id, word, tf), ``vocab`` = (word, c), ``total_tokens`` an exact
+    integer scalar from the artifact marker — no corpus scan, no
+    1-row total aggregate."""
+    joined = (
+        tf.select(
+            F.col(id_col),
+            F.col(word_col).alias("__w"),
+            F.col(tf_col).alias("__tf"),
+        )
+        .join(
+            vocab.select(
+                F.col(word_col).alias("__w"), F.col(c_col).alias("__c")
+            ),
+            "__w",
+        )
+        .withColumn("__n", F.lit(int(total_tokens)))
+    )
+    return _lm_score_tf(joined, id_col)

@@ -1,0 +1,150 @@
+"""Per-corpus-version token-statistics artifact: ONE corpus tokenize
+pass serving every lexical-statistics consumer.
+
+Round-7 measured three registered queries each re-paying the same
+dominant cost — explode(split(text)) over the whole corpus — per call:
+``bm25_self_retrieval`` (tf/df/dl/avgdl), ``doc_lm_scores`` /
+``lm_quality_buckets`` (vocabulary + per-doc occurrence sums), and
+``doc_top_terms`` (tf/df). This module factors that shared pass into a
+persisted per-corpus-version artifact (lifecycle.artifacts — the same
+build-if-missing + completion-marker contract as the IVF assignment
+table, SCALE.md §19, and the hot-shingle set, §23):
+
+- ``tf/``    (id, word, lword, tf, dl) — case-preserved term counts per
+  document, with the lowered form attached and the document token count
+  denormalized (per-doc constant; parquet RLE makes that near-free).
+- ``tfl/``   (id, lword, tf, dl) — the lowercase-folded aggregate the
+  retrieval stack keys on.
+- ``dfl/``   (lword, df, cf) — lowered document frequency + corpus
+  frequency (cf = total occurrences), i.e. the vocabulary for coverage
+  and IDF work.
+- ``vocab/`` (word, c) — case-preserved corpus frequencies (the unigram
+  LM numerators; doc_lm scoring is case-sensitive by contract).
+- ``_meta.json`` — n_docs (ALL documents, including zero-token ones —
+  they must count toward N and avgdl), sum_dl (total token
+  occurrences).
+
+Scale shape: the build is the one unavoidable corpus pass (explode →
+(doc, term) hash aggregate; map-side combine absorbs the Zipfian term
+skew) plus three aggregates over the already-shrunk tf frame. Every
+serve-path consumer then starts from parquet frames that are
+vocabulary- or posting-sized — orders of magnitude below corpus bytes
+at 100 TB — and from exact integer scalars in the marker, so N/avgdl
+cost a JSON read, not a scan. Crossover measured in SCALE.md §25.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.lifecycle.artifacts import ensure_artifact
+
+# bump to invalidate artifacts when the build layout/tokenizer changes
+TOKEN_STATS_PARAMS = {"v": 1, "tok": "ws-split"}
+
+
+def _words(text_col: str) -> "F.Column":
+    """Whitespace tokens, empties dropped — the corpus-wide tokenizer
+    contract shared with extensions.retrieval and extensions.textstats
+    (oracles reproduce it with regexp_split_to_array + list_filter)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+
+
+@dataclass(frozen=True)
+class TokenStats:
+    """Handle on a built token-stats artifact: lazy frame readers plus
+    the exact integer scalars from the completion marker."""
+
+    path: str
+    spark: SparkSession
+    n_docs: int
+    sum_dl: int
+
+    @property
+    def avgdl(self) -> float:
+        # exact-int IEEE division — bit-identical to SUM(dl)/COUNT(*)
+        # in either engine (both operands exact below 2^53)
+        return self.sum_dl / self.n_docs if self.n_docs else 0.0
+
+    def tf(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "tf"))
+
+    def tfl(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "tfl"))
+
+    def dfl(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "dfl"))
+
+    def vocab(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "vocab"))
+
+
+def token_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> TokenStats:
+    """Build-if-missing the token-stats artifact for (sf_dir, table)
+    and return a handle. Stale/missing detection is the shared
+    stat-fingerprint contract; a crashed build leaves no marker."""
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    params = dict(TOKEN_STATS_PARAMS, table=table, id=id_col, text=text_col)
+
+    def build(path: str, fp: str) -> dict:
+        docs = load_table(spark, sf_dir, table).select(id_col, text_col)
+        words = _words(text_col)
+        toks = docs.select(
+            F.col(id_col),
+            F.size(words).alias("dl"),
+            F.explode(words).alias("word"),
+        )
+        tf = (
+            toks.groupBy(id_col, "word")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+            .withColumn("lword", F.lower("word"))
+        )
+        tf.write.mode("overwrite").parquet(os.path.join(path, "tf"))
+        tf_p = spark.read.parquet(os.path.join(path, "tf"))
+        tfl = tf_p.groupBy(id_col, "lword").agg(
+            F.sum("tf").alias("tf"), F.first("dl").alias("dl")
+        )
+        tfl.write.mode("overwrite").parquet(os.path.join(path, "tfl"))
+        tfl_p = spark.read.parquet(os.path.join(path, "tfl"))
+        tfl_p.groupBy("lword").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        ).write.mode("overwrite").parquet(os.path.join(path, "dfl"))
+        tf_p.groupBy("word").agg(F.sum("tf").alias("c")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "vocab"))
+        # scalars: N counts ALL docs (zero-token ones have no tf rows
+        # but still belong in N and the avgdl denominator); sum_dl from
+        # the per-doc dl — both exact integers for the marker
+        n_docs = docs.count()
+        row = (
+            tf_p.groupBy(id_col)
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+            .collect()[0]
+        )
+        return {"n_docs": n_docs, "sum_dl": int(row["s"])}
+
+    path, meta, _rebuilt = ensure_artifact(
+        "token_stats",
+        sf_dir,
+        os.path.join(sf_dir, f"{table}.parquet"),
+        params,
+        build,
+    )
+    return TokenStats(
+        path=path,
+        spark=spark,
+        n_docs=int(meta["n_docs"]),
+        sum_dl=int(meta["sum_dl"]),
+    )

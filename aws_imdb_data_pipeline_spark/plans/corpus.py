@@ -364,67 +364,78 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_lm_scores",
-    oracle=r"""
+_LM_SCORED_SQL = r"""
     WITH words AS (
         SELECT doc_id, w AS word
         FROM documents,
              unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
         WHERE w <> ''
     ),
-    vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
-    total AS (SELECT SUM(c) AS n FROM vocab)
-    SELECT doc_id,
-           COUNT(*) AS n_words,
-           ROUND(SUM(LN(c / n)), 4) AS sum_logprob,
-           ROUND(SUM(LN(c / n)), 4) / COUNT(*) AS avg_logprob
-    FROM words JOIN vocab USING (word) CROSS JOIN total
-    GROUP BY doc_id
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    vocab AS (SELECT word, SUM(tf) AS c FROM tf GROUP BY word),
+    total AS (SELECT SUM(c) AS n FROM vocab),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_words,
+               ROUND(SUM(tf * LN(c / n)), 4) AS sum_logprob
+        FROM tf JOIN vocab USING (word) CROSS JOIN total
+        GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "doc_lm_scores",
+    oracle=_LM_SCORED_SQL
+    + """
+    SELECT doc_id, n_words, sum_logprob,
+           sum_logprob / n_words AS avg_logprob
+    FROM scored
     """,
     operators=("EXT-text", "EXT-corpus", "A1", "J1"),
 )
 def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality filter: unigram-LM log-probability per
-    document, model fit on the corpus itself (extensions.textstats.
-    unigram_lm_scores). The standard cheap stand-in for CCNet's KenLM
-    perplexity bucketing."""
-    from aws_imdb_data_pipeline_spark.extensions.textstats import (
-        unigram_lm_scores,
-    )
+    document, model fit on the corpus itself (extensions.textstats).
+    The standard cheap stand-in for CCNet's KenLM perplexity bucketing.
 
-    docs = load_table(spark, sf_dir, "documents")
-    return unigram_lm_scores(docs, "doc_id", "text")
+    Served from the token-stats artifact (extensions.tokenindex,
+    SCALE.md §25): the per-(doc, term) tf frame and the vocabulary are
+    persisted parquet, the corpus token total an exact marker integer.
+    The score uses the tf-WEIGHTED sum Σ tf·ln(c/N) — algebraically
+    the per-occurrence sum, one row per distinct (doc, term) — and the
+    oracle computes the identical form, so the 4-decimal rounding
+    policy still hash-matches."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        unigram_lm_scores_from_tf,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import token_stats
+
+    ts = token_stats(spark, sf_dir)
+    return unigram_lm_scores_from_tf(ts.tf(), ts.vocab(), ts.sum_dl)
 
 
 @register(
     "lm_quality_buckets",
-    oracle=r"""
-    WITH words AS (
-        SELECT doc_id, w AS word
-        FROM documents,
-             unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
-        WHERE w <> ''
-    ),
-    vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
-    total AS (SELECT SUM(c) AS n FROM vocab),
-    scored AS (
-        SELECT w.doc_id,
-               ROUND(SUM(LN(c / n)), 4) / COUNT(*) AS avg_logprob
-        FROM words w JOIN vocab USING (word) CROSS JOIN total
-        GROUP BY w.doc_id
+    oracle=_LM_SCORED_SQL
+    + """,
+    lm AS (
+        SELECT doc_id, sum_logprob / n_words AS avg_logprob FROM scored
     ),
     cuts AS (
         SELECT quantile_cont(avg_logprob, 1.0/3) AS c1,
                quantile_cont(avg_logprob, 2.0/3) AS c2
-        FROM scored
+        FROM lm
     ),
     bucketed AS (
         SELECT d.source,
                CASE WHEN s.avg_logprob >= c.c2 THEN 'head'
                     WHEN s.avg_logprob >= c.c1 THEN 'middle'
                     ELSE 'tail' END AS bucket
-        FROM scored s JOIN documents d USING (doc_id) CROSS JOIN cuts c
+        FROM lm s JOIN documents d USING (doc_id) CROSS JOIN cuts c
     )
     SELECT source, bucket, COUNT(*) AS n_docs
     FROM bucketed GROUP BY source, bucket
@@ -439,13 +450,17 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear interpolation — see price_percentiles), and the banding
     compares those identical doubles, so the oracle hash-matches.
     At 100 TB swap the exact percentile for approx_percentile and keep
-    everything else (the cutoff stays a broadcast scalar)."""
+    everything else (the cutoff stays a broadcast scalar). LM scores
+    ride the same token-stats artifact as doc_lm_scores (SCALE.md
+    §25) — one family build serves both."""
     from aws_imdb_data_pipeline_spark.extensions.textstats import (
-        unigram_lm_scores,
+        unigram_lm_scores_from_tf,
     )
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import token_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = unigram_lm_scores(docs, "doc_id", "text").select(
+    ts = token_stats(spark, sf_dir)
+    scored = unigram_lm_scores_from_tf(ts.tf(), ts.vocab(), ts.sum_dl).select(
         "doc_id", "avg_logprob"
     )
     cuts = scored.agg(

@@ -115,11 +115,18 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by term frequency with smoothed TF-IDF
-    annotation (extensions/textstats.py top_terms_per_doc). Integer
-    rank keys keep the kept set engine-deterministic; the
-    transcendental score is output-only."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return top_terms_per_doc(docs, id_col="doc_id", text_col="text", k=3)
+    annotation (extensions/textstats.py). Integer rank keys keep the
+    kept set engine-deterministic; the transcendental score is
+    output-only. Served from the token-stats artifact's lowered
+    tf/df frames + exact marker N (extensions.tokenindex, SCALE.md
+    §25) — the third consumer of the one family build."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        top_terms_from_stats,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import token_stats
+
+    ts = token_stats(spark, sf_dir)
+    return top_terms_from_stats(ts.tfl(), ts.dfl(), ts.n_docs, k=3)
 
 
 @register(

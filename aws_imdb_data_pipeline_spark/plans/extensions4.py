@@ -65,9 +65,11 @@ from aws_imdb_data_pipeline_spark.sources.tables import load_table
 def bm25_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical top-k (extensions.retrieval.bm25_topk) with a
     planted self-retrieval query set: every 20th document's first 6
-    words form a query under its own id, so each query's expected top
-    hit is its source document (verified as a property in tests; the
-    oracle verifies every rank and score exactly).
+    words form a query under its own id. (With this corpus's 31-word
+    pool a 6-word prefix matches many documents and BM25's length
+    normalization often ranks a shorter doc above the longer gold one
+    — so gold-is-top-1 is NOT asserted; the oracle verifies every
+    rank and score exactly instead.)
 
     The sparse counterpart of the ann_cosine_topk* family: corpus
     statistics (tf/df/dl/avgdl) are map-side-combinable aggregates,
@@ -76,9 +78,27 @@ def bm25_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED score with an id tiebreak — the float-policy move that
     keeps the order engine-portable (ln differs in the last ulp
     across libm implementations; at 4 decimals a rank flip needs the
-    true score within ~1e-12 of a rounding boundary)."""
-    from aws_imdb_data_pipeline_spark.extensions.retrieval import bm25_topk
+    true score within ~1e-12 of a rounding boundary).
 
+    Served from the per-corpus-version token-stats artifact
+    (extensions.tokenindex, SCALE.md §25): the posting frames are
+    persisted parquet, N/avgdl exact marker integers — a query batch
+    pays only the broadcast probe + one (query, doc) aggregate, never
+    a corpus re-tokenize."""
+    return bm25_from_artifact(spark, sf_dir, k=3, exclude_self=False)
+
+
+def bm25_from_artifact(
+    spark: SparkSession, sf_dir: str, k: int, exclude_self: bool
+) -> DataFrame:
+    """Shared serve path for the BM25 family (self-retrieval and
+    hard-negative mining): self-retrieval queries (every 20th doc's
+    first 6 words) scored against the token-stats artifact's posting
+    frames."""
+    from aws_imdb_data_pipeline_spark.extensions.retrieval import bm25_topk
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import token_stats
+
+    ts = token_stats(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     queries = docs.filter(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("query_id"),
@@ -92,9 +112,18 @@ def bm25_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("qtext"),
     )
+    tf = ts.tfl().select(
+        "doc_id", F.col("lword").alias("__t"),
+        F.col("tf").alias("__tf"), F.col("dl").alias("__dl"),
+    )
+    dfreq = ts.dfl().select(
+        F.col("lword").alias("__t"), F.col("df").alias("__df")
+    )
     return bm25_topk(
         docs, queries, id_col="doc_id", text_col="text",
-        qid_col="query_id", qtext_col="qtext", k=3,
+        qid_col="query_id", qtext_col="qtext", k=k,
+        corpus=(tf, dfreq, (ts.n_docs, ts.avgdl)),
+        exclude_self=exclude_self,
     )
 
 

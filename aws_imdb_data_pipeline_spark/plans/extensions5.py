@@ -1,0 +1,322 @@
+"""Fifth extensions batch (round 8): consumers of the per-corpus-
+version token-stats artifact (extensions.tokenindex) beyond the
+rewired round-7 queries — tokenizer-sizing vocabulary coverage, BM25
+hard-negative mining, and reciprocal-rank-fusion hybrid retrieval
+(lexical BM25 + dense cosine). All fully SQL-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+_COVERAGE_SIZES = (5, 10, 20)
+
+
+@register(
+    "vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   w -> w <> '')) AS t
+        FROM documents
+    ),
+    cf AS (SELECT t, COUNT(*) AS cf FROM toks GROUP BY t),
+    total AS (SELECT SUM(cf) AS n FROM cf),
+    ranked AS (
+        SELECT cf, row_number() OVER (ORDER BY cf DESC, t) AS rn FROM cf
+    )
+    SELECT v.vocab_size,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(r.cf) AS BIGINT) AS covered_tokens,
+           CAST(SUM(r.cf) AS BIGINT) / (SELECT n FROM total) AS coverage
+    FROM (VALUES (5), (10), (20)) v(vocab_size)
+    JOIN ranked r ON r.rn <= v.vocab_size
+    GROUP BY v.vocab_size
+    """,
+    operators=("EXT-text", "EXT-tokenstats", "A1", "O1", "W4"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing coverage curve: for each candidate vocabulary
+    size V, the fraction of all corpus token OCCURRENCES covered by
+    the V most frequent terms (rank key (cf DESC, term) — exact
+    integers, engine-deterministic). The curve a tokenizer budget
+    decision reads off; at a real corpus the sizes are 32k/64k/128k —
+    here (5, 10, 20) against the synthetic 31-term pool.
+
+    Served from the token-stats artifact's vocabulary frame (dfl:
+    term → corpus frequency) + the exact marker token total — no
+    corpus scan at all. The global order-by is bounded: TakeOrdered
+    over the VOCABULARY (not the corpus), pre-trimmed to max(V) rows
+    before the single-partition rank window, so the plan stays
+    parallel at a 10M-type vocabulary."""
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import token_stats
+    from aws_imdb_data_pipeline_spark.operators.topk import top_k_global
+
+    ts = token_stats(spark, sf_dir)
+    vmax = max(_COVERAGE_SIZES)
+    top = top_k_global(
+        ts.dfl().select("lword", "cf"),
+        order_by=[F.desc("cf"), F.col("lword")],
+        k=vmax,
+    )
+    ranked = top.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.desc("cf"), F.col("lword"))),
+    )
+    sizes = spark.createDataFrame(
+        [(v,) for v in _COVERAGE_SIZES], "vocab_size int"
+    )
+    return (
+        ranked.join(F.broadcast(sizes), F.col("rn") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cf").alias("covered_tokens"),
+        )
+        .select(
+            "vocab_size",
+            "n_types",
+            "covered_tokens",
+            (F.col("covered_tokens") / F.lit(int(ts.sum_dl))).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+@register(
+    "bm25_hard_negatives",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, u.w AS t, len(ws) AS dl
+        FROM ws, LATERAL unnest(ws) AS u(w)
+    ),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+        FROM toks GROUP BY doc_id, t
+    ),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    stats AS (SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM ws),
+    q AS (
+        SELECT DISTINCT doc_id AS query_id, u.w AS t
+        FROM (SELECT doc_id, ws[1:6] AS qs FROM ws
+              WHERE doc_id % 20 = 0),
+             LATERAL unnest(qs) AS u(w)
+    ),
+    sc AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / s.avgdl))
+               ), 4) AS score
+        FROM q
+        JOIN tf  ON tf.t = q.t
+        JOIN dfq d ON d.t = q.t
+        CROSS JOIN stats s
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, rank, doc_id, score
+    FROM (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM sc)
+    WHERE rank <= 3
+    """,
+    operators=("EXT-retrieval", "EXT-tokenstats", "J-bcast", "W2", "O2"),
+)
+def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-3 BM25 hits EXCLUDING the gold (source) document — the
+    lexically-confusable negatives a retriever/embedding trainer pairs
+    against the positive. Same self-retrieval query set as
+    bm25_self_retrieval; the exclusion filters the (query, doc)
+    posting rows before the score aggregate, so a gold document's
+    postings never reach the ranking.
+
+    Rides the token-stats artifact (SCALE.md §25): a second retrieval
+    query against the SAME persisted posting frames — zero additional
+    build cost over bm25_self_retrieval."""
+    from aws_imdb_data_pipeline_spark.plans.extensions4 import (
+        bm25_from_artifact,
+    )
+
+    return bm25_from_artifact(spark, sf_dir, k=3, exclude_self=True)
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    oracle=r"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, u.w AS t, len(ws) AS dl
+        FROM ws, LATERAL unnest(ws) AS u(w)
+    ),
+    tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+        FROM toks GROUP BY doc_id, t
+    ),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    stats AS (SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM ws),
+    q AS (
+        SELECT DISTINCT doc_id AS query_id, u.w AS t
+        FROM (SELECT doc_id, ws[1:6] AS qs FROM ws
+              WHERE doc_id % 20 = 0),
+             LATERAL unnest(qs) AS u(w)
+    ),
+    sc AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (tf.tf * (1.2 + 1))
+                   / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * tf.dl / s.avgdl))
+               ), 4) AS score
+        FROM q
+        JOIN tf  ON tf.t = q.t
+        JOIN dfq d ON d.t = q.t
+        CROSS JOIN stats s
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+        FROM sc
+        QUALIFY lex_rank <= 10
+    ),
+    e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM e GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(qe.x * c.x) AS dot
+        FROM (SELECT * FROM e WHERE vec_id % 20 = 0) qe
+        JOIN e c ON qe.i = c.i AND qe.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    den AS (
+        SELECT query_id, neighbor_id AS doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 4) DESC,
+                            neighbor_id) AS INTEGER) AS dense_rank
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+        QUALIFY dense_rank <= 10
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+                     + COALESCE(1.0 / (60 + d.dense_rank), 0), 6)
+                   AS rrf_score
+        FROM lex l FULL OUTER JOIN den d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, rank, doc_id, rrf_score, lex_rank, dense_rank
+    FROM (
+        SELECT *,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+        FROM fused)
+    WHERE rank <= 5
+    """,
+    operators=(
+        "EXT-retrieval", "EXT-sim", "EXT-tokenstats", "J-full", "W2", "O2",
+    ),
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al.):
+    fuse the BM25 lexical top-10 and the dense-cosine top-10 per query
+    with rrf = Σ 1/(60 + rank), keep the fused top-5. The standard
+    first-stage retriever for RAG/hard-negative pipelines — lexical
+    catches exact-term matches dense embeddings miss, dense catches
+    paraphrases lexical misses, and RRF needs no score calibration
+    because it consumes only RANKS (integers — engine-deterministic
+    after each list's rounded-score + id tiebreak ordering).
+
+    Query set: every 20th document (self excluded from both lists);
+    its embedding row shares the id space (vec_id == doc_id). Both
+    input rankings are already oracled operators (bm25 family /
+    ann_cosine_topk); the fusion itself is a FULL OUTER join on
+    (query, doc) of two k-row-per-query frames — tiny regardless of
+    corpus size — so hybrid costs nothing beyond its two retrievals.
+    The lexical side rides the token-stats artifact (SCALE.md §25)."""
+    from aws_imdb_data_pipeline_spark.extensions.similarity import cosine_topk
+    from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
+    from aws_imdb_data_pipeline_spark.plans.extensions4 import (
+        bm25_from_artifact,
+    )
+
+    lex = bm25_from_artifact(spark, sf_dir, k=10, exclude_self=True).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    den = cosine_topk(
+        queries=emb.filter(F.col("vec_id") % 20 == 0),
+        candidates=emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    )
+    den = den.withColumn(
+        "dense_rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.col("neighbor_id")
+            )
+        ),
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "dense_rank")
+    fused = lex.join(den, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    top = top_n_per_group(
+        fused,
+        partition_by=["query_id"],
+        order_by=[F.desc("rrf_score"), F.col("doc_id")],
+        n=5,
+        rank_col="rank",
+        keep_rank=True,
+    )
+    return top.select(
+        "query_id", "rank", "doc_id", "rrf_score", "lex_rank", "dense_rank"
+    )

@@ -292,30 +292,37 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders whose total quantity exceeds 200, with their customers.
-    The HAVING subquery is a semi join of orders against the aggregated
-    keeper keys; quantities are then re-aggregated per (customer,
-    order) for the report.
 
-    Scale: the keeper-key aggregate and the report aggregate both
-    shuffle on l_orderkey — AQE reuses the exchange; customer attaches
-    by broadcast."""
+    Round-8 restructure (the round-7 bench regression): the old form
+    scanned AND shuffled lineitem twice — once for the HAVING keeper
+    keys, once to re-aggregate quantities for the report — betting on
+    an exchange reuse that the executed plan did not deliver (the semi
+    join's keeper side aggregates BEFORE the second scan's shuffle, so
+    the exchanges differ). But the report's grain is (customer, order)
+    and every report column is functionally dependent on o_orderkey,
+    so the per-order SUM already IS total_qty: aggregate lineitem
+    ONCE, filter > 200 (6% of orders at sf0.1), and join orders to the
+    filtered aggregate. One lineitem scan, one lineitem shuffle, no
+    second aggregate. The filtered side is left un-hinted: AQE sees
+    its runtime size and picks broadcast at bench scale, while at
+    100 TB (where 6% of orders is billions of rows) it stays a
+    key-partitioned join — the choice belongs to the runtime stats,
+    not the code. Customer attaches by broadcast."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    keepers = (
+    big_qty = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__q"))
         .filter(F.col("__q") > 200)
-        .select("l_orderkey")
-    )
-    big = orders.join(
-        keepers, orders.o_orderkey == keepers.l_orderkey, "left_semi"
     )
     return (
-        li.join(big, li.l_orderkey == big.o_orderkey)
-        .join(F.broadcast(cust), big.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        orders.join(big_qty, orders.o_orderkey == big_qty.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round("__q", 4).alias("total_qty"),
+        )
     )
 
 

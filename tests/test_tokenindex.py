@@ -1,0 +1,135 @@
+"""Token-stats artifact (extensions.tokenindex): build-once reuse
+contract, frame correctness vs direct computation, and the properties
+of the round-8 consumers (hard negatives exclude gold, RRF fuses both
+lists, coverage is a monotone CDF)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.extensions.tokenindex import (
+    TOKEN_STATS_PARAMS,
+    token_stats,
+)
+from aws_imdb_data_pipeline_spark.plans.registry import REGISTRY
+
+
+def test_artifact_builds_once_and_reuses(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+    ts1 = token_stats(spark, sf_dir)
+    marker = os.path.join(ts1.path, "_meta.json")
+    mtime1 = os.stat(marker).st_mtime_ns
+    meta1 = json.load(open(marker))
+    # second call must serve the SAME artifact without rebuilding
+    ts2 = token_stats(spark, sf_dir)
+    assert ts2.path == ts1.path
+    assert os.stat(marker).st_mtime_ns == mtime1
+    assert meta1["params"]["v"] == TOKEN_STATS_PARAMS["v"]
+    assert ts1.n_docs > 0 and ts1.sum_dl > 0
+
+
+def test_artifact_frames_match_direct_compute(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+    ts = token_stats(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    direct = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy(F.lower("w").alias("lword"))
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    got = {r.lword: r.cf for r in ts.dfl().select("lword", "cf").collect()}
+    want = {r.lword: r.cf for r in direct.collect()}
+    assert got == want
+    # scalars: N counts every document; sum_dl is the occurrence total
+    assert ts.n_docs == docs.count()
+    assert ts.sum_dl == sum(want.values())
+    # dl is consistent: per-doc token count equals the summed tf
+    bad = (
+        ts.tfl()
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("s"), F.first("dl").alias("dl"))
+        .filter(F.col("s") != F.col("dl"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_hard_negatives_exclude_gold(spark, sf_dir):
+    neg = REGISTRY["bm25_hard_negatives"].fn(spark, sf_dir).cache()
+    try:
+        # the defining property: the gold (source) document never
+        # appears in its own negative list
+        assert neg.filter(F.col("query_id") == F.col("doc_id")).count() == 0
+        # every query got a full negative list with descending scores
+        rows = neg.collect()
+        import collections
+
+        per_q = collections.defaultdict(list)
+        for r in rows:
+            per_q[r.query_id].append(r)
+        assert per_q, "no negatives mined"
+        for q, lst in per_q.items():
+            lst.sort(key=lambda r: r.rank)
+            scores = [r.score for r in lst]
+            assert scores == sorted(scores, reverse=True)
+    finally:
+        neg.unpersist()
+
+
+def test_rrf_fuses_both_lists(spark, sf_dir):
+    fused = REGISTRY["rrf_hybrid_retrieval"].fn(spark, sf_dir).cache()
+    try:
+        rows = fused.collect()
+        assert rows, "fusion produced no rows"
+        # every fused row carries at least one source rank, and the
+        # score is exactly the RRF of the ranks it carries
+        for r in rows:
+            assert r.lex_rank is not None or r.dense_rank is not None
+            want = sum(
+                1.0 / (60 + rk)
+                for rk in (r.lex_rank, r.dense_rank)
+                if rk is not None
+            )
+            assert abs(r.rrf_score - round(want, 6)) < 1e-9
+        # both retrieval modalities contribute somewhere
+        assert any(r.lex_rank is not None for r in rows)
+        assert any(r.dense_rank is not None for r in rows)
+        # per query: ranks are 1..k and rrf is non-increasing in rank
+        import collections
+
+        per_q = collections.defaultdict(list)
+        for r in rows:
+            per_q[r.query_id].append(r)
+        for q, lst in per_q.items():
+            lst.sort(key=lambda r: r.rank)
+            assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+            scores = [r.rrf_score for r in lst]
+            assert scores == sorted(scores, reverse=True)
+    finally:
+        fused.unpersist()
+
+
+def test_vocab_coverage_is_monotone_cdf(spark, sf_dir):
+    cov = {
+        r.vocab_size: r
+        for r in REGISTRY["vocab_coverage"].fn(spark, sf_dir).collect()
+    }
+    sizes = sorted(cov)
+    assert len(sizes) >= 2
+    prev = 0.0
+    for v in sizes:
+        r = cov[v]
+        assert r.n_types <= v
+        assert 0.0 < r.coverage <= 1.0
+        assert r.coverage >= prev  # more vocab never covers less
+        prev = r.coverage
+    # the full 31-term pool covers everything: the largest size's
+    # coverage must dominate the Zipf head's share
+    assert cov[sizes[-1]].coverage > cov[sizes[0]].coverage or (
+        cov[sizes[0]].coverage == pytest.approx(cov[sizes[-1]].coverage)
+    )
