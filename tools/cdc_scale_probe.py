@@ -9,8 +9,17 @@ rows): a snapshot of N keys and a slice touching N/500 keys (80%
 updates / 10% deletes / 10% inserts).
 
 Usage: python tools/cdc_scale_probe.py [n_keys ...]  (default 10M 50M)
+       python tools/cdc_scale_probe.py --scd2 [n_rows ...]  (default 10M 100M)
 Prints one JSON line per size.
-"""
+
+--scd2 probes scd2_from_changelog (round 8): a changelog of n_rows
+(R=5 versions per key; ~1/3 of versions change state, ~1/11 delete)
+built as a pure function of spark.range. Measures the full-history
+build, asserts its ONE-key-shuffle plan (the dedup lag runs under the
+same partitioning as the compression windows — no second exchange),
+and compares against the snapshot-diff alternative the docstring
+argues against: R-1 FULL OUTER joins of consecutive key-level
+snapshots, each shuffling two full snapshots."""
 
 from __future__ import annotations
 
@@ -28,8 +37,100 @@ from aws_imdb_data_pipeline_spark.lifecycle.cdc import apply_changelog  # noqa: 
 from aws_imdb_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def scd2_probe(spark, sizes: list[int]) -> None:
+    import re
+
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import scd2_from_changelog
+
+    R = 5
+    for n in sizes:
+        keys = n // R
+        # changelog: R versions per key; state changes on ~1/3 of
+        # versions (the rest collapse as consecutive duplicates);
+        # ~1/11 of observations are deletes that close intervals
+        log = spark.range(n).select(
+            (F.col("id") % keys).alias("k"),
+            (F.col("id") / keys).cast("long").alias("seq"),
+            F.when(
+                (F.col("id") % keys + F.col("id") / keys).cast("long") % 11
+                == 0,
+                F.lit("D"),
+            )
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (
+                (F.col("id") % keys + (F.col("id") / keys).cast("long") / 2)
+                % 3
+            ).cast("long").alias("v"),
+        )
+        # sparse form: a real CDC feed captures only CHANGED rows —
+        # keep ~1/3 of observations (state transitions) + deletes.
+        # The dense log above is the changelog worst case (every key
+        # re-observed every refresh, most rows collapsing as
+        # consecutive duplicates).
+        sparse = log.filter(
+            ((F.col("k") + F.col("seq")) % 3 == 0) | (F.col("op") == "D")
+        )
+        hist = scd2_from_changelog(log, ["k"], ["seq"], ["v"])
+        plan = hist._jdf.queryExecution().executedPlan().toString()
+        n_exch = len(re.findall(r"Exchange hashpartitioning", plan))
+        t0 = time.perf_counter()
+        hist.write.format("noop").mode("overwrite").save()
+        scd2_s = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        scd2_from_changelog(sparse, ["k"], ["seq"], ["v"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        scd2_sparse_s = round(time.perf_counter() - t0, 2)
+
+        # the snapshot-diff alternative: per refresh, FULL OUTER join
+        # consecutive key-level snapshots to find opens/closes/changes
+        def snap(t):
+            s = spark.range(keys).select(
+                F.col("id").alias("k"),
+                ((F.col("id") + F.lit(t) / 2) % 3).cast("long").alias("v"),
+            )
+            return s.filter((F.col("k") + F.lit(t)) % 11 != 0)
+
+        t0 = time.perf_counter()
+        for t in range(1, R):
+            prev, cur = snap(t - 1), snap(t)
+            diff = prev.join(cur, "k", "full_outer").filter(
+                prev["v"].isNull()
+                | cur["v"].isNull()
+                | (prev["v"] != cur["v"])
+            )
+            diff.write.format("noop").mode("overwrite").save()
+        diff_s = round(time.perf_counter() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "mode": "scd2",
+                    "n_rows": n,
+                    "n_keys": keys,
+                    "refreshes": R,
+                    "scd2_dense_sec": scd2_s,
+                    "scd2_sparse_sec": scd2_sparse_s,
+                    "snapshot_diff_sec": diff_s,
+                    "sparse_speedup": round(diff_s / scd2_sparse_s, 1)
+                    if scd2_sparse_s
+                    else None,
+                    "scd2_hash_exchanges": n_exch,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [10_000_000, 50_000_000]
+    args = list(sys.argv[1:])
+    if "--scd2" in args:
+        args.remove("--scd2")
+        spark = get_spark("cdc-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        scd2_probe(spark, [int(a) for a in args] or [10_000_000, 100_000_000])
+        return
+    sizes = [int(a) for a in args] or [10_000_000, 50_000_000]
     spark = get_spark("cdc-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
