@@ -271,8 +271,10 @@ def corpus_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hash-split variant of corpus_split_counts: buckets come from
     xxhash64(doc_id, seed) so clustered ids (crawl batches, shards)
     cannot correlate with the split. xxhash64 is engine-specific -> no
-    SQL oracle (rows-only); split proportions and determinism are
-    property-tested in tests/test_properties.py."""
+    SQL oracle for the assignment itself (rows-only); the CONTRACT is
+    driver-verified by the oracled companion corpus_hash_split_check
+    (fraction tolerance + partition invariance as a pinned boolean
+    output) and property-tested in tests/test_properties.py."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         hash_split_assignment(docs, "doc_id")

@@ -320,3 +320,83 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "query_id", "rank", "doc_id", "rrf_score", "lex_rank", "dense_rank"
     )
+
+
+@register(
+    "corpus_hash_split_check",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('test',  CAST(0.05 AS DOUBLE), true, true),
+        ('train', CAST(0.90 AS DOUBLE), true, true),
+        ('val',   CAST(0.05 AS DOUBLE), true, true))
+        AS t(split, target_frac, frac_within_tol, partition_invariant)
+    """,
+    operators=("EXT-corpus", "A2", "J1"),
+)
+def corpus_hash_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable INVARIANT companion to the rows-only
+    corpus_hash_split_counts (round-7 verdict #6): xxhash64 split
+    assignments can't be reproduced in ANSI SQL, but their contract
+    can be verified as a fixed output the oracle pins exactly —
+
+    - ``frac_within_tol``: each split's observed fraction is within
+      3.5σ + 1/N of its target (σ = sqrt(p(1−p)/N), computed
+      SPARK-SIDE from the corpus's own N, so the bound scales with
+      the data instead of hard-coding a small-SF tolerance);
+    - ``partition_invariant``: re-assigning after a repartition(7)
+      yields the identical split for every document (the rand(seed)
+      failure mode — a partition-layout-dependent stream — makes this
+      false), and the join covers all N docs.
+
+    A broken hash (everything in one split), drifted cut points, or
+    layout-dependent assignment all flip a boolean and hash-mismatch
+    against the pinned oracle. Statistical fine print: 3.5σ is a
+    ~1/2000 false-alarm bound per split under the null; xxhash64 on
+    distinct ids behaves binomial, and assignment is deterministic,
+    so the check is stable across runs at every SF."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        hash_split_assignment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = hash_split_assignment(docs, "doc_id")
+    b = hash_split_assignment(docs.repartition(7), "doc_id").select(
+        "doc_id", F.col("split").alias("split2")
+    )
+    inv = (
+        a.join(b, "doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("split") != F.col("split2"), 1).otherwise(0)
+            ).alias("__mm"),
+            F.count(F.lit(1)).alias("__pairs"),
+        )
+    )
+    per = a.groupBy("split").agg(F.count(F.lit(1)).alias("__cnt"))
+    tot = a.agg(F.count(F.lit(1)).alias("__N"))
+    targets = spark.createDataFrame(
+        [("test", 0.05), ("train", 0.90), ("val", 0.05)],
+        "split string, target_frac double",
+    )
+    sigma = F.sqrt(
+        F.col("target_frac") * (1 - F.col("target_frac")) / F.col("__N")
+    )
+    return (
+        targets.join(per, "split", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(inv))
+        .select(
+            "split",
+            "target_frac",
+            (
+                F.abs(
+                    F.coalesce(F.col("__cnt"), F.lit(0)) / F.col("__N")
+                    - F.col("target_frac")
+                )
+                <= F.lit(3.5) * sigma + 1 / F.col("__N")
+            ).alias("frac_within_tol"),
+            (
+                (F.col("__mm") == 0) & (F.col("__pairs") == F.col("__N"))
+            ).alias("partition_invariant"),
+        )
+    )
