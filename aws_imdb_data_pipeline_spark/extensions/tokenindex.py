@@ -148,3 +148,54 @@ def token_stats(
         n_docs=int(meta["n_docs"]),
         sum_dl=int(meta["sum_dl"]),
     )
+
+
+def batch_token_stats(
+    batch: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Token statistics of a NEW batch alone: (tfl, dfl) with the same
+    schemas the artifact persists — the delta side of an incremental
+    merge. Tokenizes only the batch."""
+    words = _words(text_col)
+    toks = batch.select(
+        F.col(id_col),
+        F.size(words).alias("dl"),
+        F.explode(words).alias("word"),
+    )
+    tfl = (
+        toks.groupBy(id_col, F.lower("word").alias("lword"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfl = tfl.groupBy("lword").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    return tfl, dfl
+
+
+def merge_dfl(base_dfl: DataFrame, delta_dfl: DataFrame) -> DataFrame:
+    """Additive vocabulary merge: df/cf are mergeable statistics, so a
+    corpus-version bump that APPENDS documents updates the vocabulary
+    by summing per-term counts — a FULL OUTER merge of two
+    VOCABULARY-sized frames (thousands-to-millions of rows), never a
+    corpus re-tokenize. The tf side needs no merge at all when batch
+    doc ids are disjoint from the base (the append-only lake norm):
+    new tf rows are a parquet append. This is the 100 TB maintenance
+    path for the token-stats artifact: build once (token_stats),
+    then per-ingest merges cost O(batch + vocabulary)."""
+    b = base_dfl.select(
+        "lword", F.col("df").alias("__bdf"), F.col("cf").alias("__bcf")
+    )
+    d = delta_dfl.select(
+        "lword", F.col("df").alias("__ddf"), F.col("cf").alias("__dcf")
+    )
+    return b.join(d, "lword", "full_outer").select(
+        "lword",
+        (
+            F.coalesce(F.col("__bdf"), F.lit(0))
+            + F.coalesce(F.col("__ddf"), F.lit(0))
+        ).alias("df"),
+        (
+            F.coalesce(F.col("__bcf"), F.lit(0))
+            + F.coalesce(F.col("__dcf"), F.lit(0))
+        ).alias("cf"),
+    )

@@ -400,3 +400,78 @@ def corpus_hash_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("partition_invariant"),
         )
     )
+
+
+@register(
+    "token_stats_incremental_merge",
+    oracle=r"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+               array_to_string(string_split(text, ' ')[1:20], ' ')
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    toks AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   w -> w <> '')) AS lword
+        FROM aug
+    ),
+    tf AS (
+        SELECT lword, COUNT(*) AS cf FROM toks GROUP BY lword
+    ),
+    dfq AS (
+        SELECT lword, COUNT(DISTINCT doc_id) AS df FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '')) AS lword
+            FROM aug) GROUP BY lword
+    )
+    SELECT lword, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+    FROM tf JOIN dfq USING (lword)
+    """,
+    operators=("EXT-tokenstats", "A3", "J-full", "U1"),
+)
+def token_stats_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the token-stats artifact: a new
+    ingest batch (every 9th document re-shipped under a shifted id,
+    truncated to its first 20 words — the crawl-refresh shape) updates
+    the corpus vocabulary by ADDITIVE merge — tokenize the BATCH only,
+    then FULL OUTER sum per-term (df, cf) against the persisted base
+    vocabulary (extensions.tokenindex.merge_dfl). df/cf are mergeable
+    statistics, so merged-counts == full-rebuild-counts exactly; the
+    oracle verifies that identity by recomputing the augmented
+    corpus's vocabulary from scratch. The tf side is append-only
+    (disjoint doc ids) and needs no merge at all.
+
+    Scale: per-ingest cost is O(batch tokens + vocabulary), never a
+    base-corpus re-tokenize — the maintenance path that keeps the
+    §25 artifact fresh between full version bumps."""
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import (
+        batch_token_stats,
+        merge_dfl,
+        token_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = docs.agg((F.max("doc_id") + 1).alias("__shift"))
+    batch = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("doc_id") + F.col("__shift")).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 20), " "
+            ).alias("text"),
+        )
+    )
+    ts = token_stats(spark, sf_dir)
+    _btfl, bdfl = batch_token_stats(batch)
+    merged = merge_dfl(ts.dfl(), bdfl)
+    return merged.select(
+        "lword",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("cf").cast("bigint").alias("cf"),
+    )

@@ -133,3 +133,34 @@ def test_vocab_coverage_is_monotone_cdf(spark, sf_dir):
     assert cov[sizes[-1]].coverage > cov[sizes[0]].coverage or (
         cov[sizes[0]].coverage == pytest.approx(cov[sizes[-1]].coverage)
     )
+
+
+def test_incremental_merge_equals_full_rebuild(spark, sf_dir, tmp_path, monkeypatch):
+    """merge_dfl(base, batch) must equal the vocabulary of a full
+    rebuild over base ∪ batch — df/cf are mergeable statistics."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+    import os
+
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import (
+        batch_token_stats,
+        merge_dfl,
+        token_stats,
+    )
+
+    ts = token_stats(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    batch = spark.createDataFrame(
+        [(10_000_000, "zzz-new-token the fast zzz-new-token"),
+         (10_000_001, "order by the the the")],
+        ["doc_id", "text"],
+    )
+    _btfl, bdfl = batch_token_stats(batch)
+    merged = {r.lword: (r.df, r.cf) for r in merge_dfl(ts.dfl(), bdfl).collect()}
+    full = docs.unionByName(batch)
+    _ftfl, fdfl_all = batch_token_stats(full)  # full "rebuild" via same kernel
+    want = {r.lword: (r.df, r.cf) for r in fdfl_all.collect()}
+    assert merged == want
+    # the brand-new term entered with batch-only counts
+    assert merged["zzz-new-token"] == (1, 2)
