@@ -297,18 +297,19 @@ def contamination_overlap(
         .select(key(F.col("__s")).alias("__g"))
         .distinct()
     )
-    totals = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        c_sh.join(F.broadcast(b_sh), "__g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # ONE corpus shingle pass: a totals branch + a hits branch would
+    # replan the explode twice (measured 2x at sf0.1 — the round-7
+    # bm25 double-scan pattern); instead flag each corpus shingle via
+    # a LEFT broadcast join against the distinct benchmark set and take
+    # both counts from a single per-doc aggregate.
+    flagged = c_sh.join(
+        F.broadcast(b_sh.withColumn("__hit", F.lit(1))), "__g", "left"
     )
-    return (
-        totals.join(hits, id_col, "left")
-        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
-        .withColumn(
-            "contamination_ratio", F.col("n_contaminated") / F.col("n_shingles")
-        )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+    ).withColumn(
+        "contamination_ratio", F.col("n_contaminated") / F.col("n_shingles")
     )
 
 

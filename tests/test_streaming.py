@@ -675,3 +675,66 @@ def test_stream_ann_topk_matches_batch_serve(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert got_df.select("batch_id").distinct().count() >= 2
+
+
+def test_stream_bm25_topk_matches_batch_serve(spark, sf_dir, tmp_path):
+    """Streaming lexical retrieval (streaming/bm25serve.py): text
+    queries arriving in micro-batches are answered from the persisted
+    token-stats artifact, and the accumulated feed equals the batch
+    BM25 on the same queries — per-query independence means
+    foreachBatch changes delivery, never answers."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.plans.extensions4 import (
+        bm25_from_artifact,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming.bm25serve import (
+        stream_bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""),
+                1, 6,
+            ),
+            " ",
+        ).alias("qtext"),
+    )
+    qdir = str(tmp_path / "queries")
+    queries.repartition(2).write.parquet(qdir)
+
+    out, ckpt = str(tmp_path / "topk"), str(tmp_path / "ckpt")
+    qstream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    q = stream_bm25_topk(qstream, sf_dir, out, ckpt, k=3)
+
+    want = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_from_artifact(
+            spark, sf_dir, k=3, exclude_self=False
+        ).collect()
+    }
+    deadline = time.time() + 180
+    n = 0
+    while n < len(want) and time.time() < deadline:
+        try:
+            n = spark.read.parquet(out).count()
+        except Exception:
+            n = 0
+        time.sleep(1)
+    q.stop()
+    got_df = spark.read.parquet(out)
+    got = {
+        (r.query_id, r.rank, r.doc_id, r.score) for r in got_df.collect()
+    }
+    assert got == want
+    assert got_df.select("batch_id").distinct().count() >= 2
