@@ -180,3 +180,60 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_cols=["ts", "event_id"],
         attr_cols=["event_type", "value"],
     )
+
+
+@register(
+    "ivm_event_type_stats",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    state AS (
+        SELECT user_id, event_type, value
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT event_type,
+           COUNT(*) AS n_keys,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM state GROUP BY event_type
+    """,
+    operators=("L-cdc", "L-ivm", "A2", "J-full", "U1"),
+)
+def ivm_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained grouped aggregate (lifecycle.ivm): the
+    per-event-type (live users, value sum) VIEW is built from the
+    pre-split state, then brought current by merging the ±1 state-
+    transition deltas of the post-split slice — never recomputed from
+    full state. The oracle IS the from-scratch recompute (full
+    changelog collapse, then aggregate), so the driver hash-match
+    verifies the IVM identity: base ⊕ Δ == recompute. Maintenance
+    cost is O(slice + touched keys + |groups|); the snapshot is
+    probe-side of broadcast joins throughout (apply_changelog's
+    contract), and the final merge joins two group-cardinality
+    frames."""
+    from aws_imdb_data_pipeline_spark.lifecycle.ivm import (
+        grouped_state_agg,
+        maintain_grouped_agg,
+        state_transition_deltas,
+    )
+
+    ev = _as_changelog(load_table(spark, sf_dir, "events"))
+    old = ev.filter(F.col("ts") < F.lit(_SPLIT).cast("timestamp"))
+    new = ev.filter(F.col("ts") >= F.lit(_SPLIT).cast("timestamp"))
+    snapshot = latest_state(old, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    base = grouped_state_agg(snapshot, ["event_type"], "value")
+    deltas = state_transition_deltas(
+        snapshot, new, ["user_id"], ["ts", "event_id"]
+    )
+    view = maintain_grouped_agg(base, deltas, ["event_type"], "value")
+    return view.select(
+        "event_type",
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )

@@ -277,3 +277,72 @@ def test_scd2_from_changelog_one_key_shuffle(spark):
     # exchanges on data (hash) — createDataFrame scans aside, the
     # window chain must not introduce a second distinct hash exchange
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+def test_ivm_maintained_view_equals_recompute(spark):
+    """base ⊕ Δ == from-scratch aggregate of the merged state, for
+    counts exactly and sums to float tolerance (delta path changes
+    only summation order)."""
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import (
+        apply_changelog,
+        latest_state,
+    )
+    from aws_imdb_data_pipeline_spark.lifecycle.ivm import (
+        grouped_state_agg,
+        maintain_grouped_agg,
+        state_transition_deltas,
+    )
+
+    base_log = _changelog(
+        spark,
+        [(1, 1, "I", "a"), (2, 1, "I", "a"), (3, 1, "I", "b"),
+         (4, 1, "I", "b"), (5, 1, "I", "c")],
+    )
+    slice_log = _changelog(
+        spark,
+        [(1, 2, "U", "b"),   # a -> b move
+         (2, 2, "D", None),  # delete: a loses a member
+         (5, 2, "D", None),  # c group empties entirely
+         (6, 2, "I", "a")],  # brand-new key
+    )
+    snapshot = latest_state(base_log, ["k"], ["seq"])
+    base = grouped_state_agg(snapshot, ["v"], "seq", "n_keys", "sum_seq")
+    deltas = state_transition_deltas(snapshot, slice_log, ["k"], ["seq"])
+    got = {
+        r.v: (r.n_keys, r.sum_seq)
+        for r in maintain_grouped_agg(
+            base, deltas, ["v"], "seq", "n_keys", "sum_seq"
+        ).collect()
+    }
+    full = apply_changelog(snapshot, slice_log, ["k"], ["seq"])
+    want = {
+        r.v: (r.n_keys, r.sum_seq)
+        for r in grouped_state_agg(
+            full, ["v"], "seq", "n_keys", "sum_seq"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert abs(got[g][1] - want[g][1]) < 1e-9
+    # group 'c' emptied: must be ABSENT, not present with n=0
+    assert "c" not in got
+
+
+def test_ivm_untouched_keys_emit_no_deltas(spark):
+    """Delta volume ∝ slice: keys the slice never mentions produce
+    zero delta rows (the snapshot is probed, never re-emitted)."""
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import latest_state
+    from aws_imdb_data_pipeline_spark.lifecycle.ivm import (
+        state_transition_deltas,
+    )
+
+    base_log = _changelog(
+        spark, [(i, 1, "I", "a") for i in range(1, 50)]
+    )
+    slice_log = _changelog(spark, [(1, 2, "U", "b")])
+    snapshot = latest_state(base_log, ["k"], ["seq"])
+    deltas = state_transition_deltas(snapshot, slice_log, ["k"], ["seq"])
+    rows = deltas.collect()
+    assert {r.k for r in rows} == {1}
+    assert sorted((r.v, r["__mult"]) for r in rows) == [("a", -1), ("b", 1)]
