@@ -66,7 +66,15 @@ def state_transition_deltas(
     from aws_imdb_data_pipeline_spark.lifecycle.cdc import apply_changelog
 
     touched = slice_log.select(*keys).distinct()
-    old_touched = snapshot.join(F.broadcast(touched), keys, "left_semi")
+    # PERSIST the touched subset: three consumers derive from it (the
+    # retraction branch, and apply_changelog's kept + resolve sides),
+    # and without the pin each replans the full snapshot scan — probed
+    # at 10M keys the un-pinned form paid 3 scans and LOST to a plain
+    # recompute (SCALE.md §28). The pinned frame is slice-sized
+    # (touched keys only), so memory is bounded by the slice.
+    old_touched = (
+        snapshot.join(F.broadcast(touched), keys, "left_semi").persist()
+    )
     new_touched = apply_changelog(
         old_touched, slice_log, keys, seq_cols, op_col=op_col,
         delete_op=delete_op,

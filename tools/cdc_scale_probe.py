@@ -10,7 +10,14 @@ updates / 10% deletes / 10% inserts).
 
 Usage: python tools/cdc_scale_probe.py [n_keys ...]  (default 10M 50M)
        python tools/cdc_scale_probe.py --scd2 [n_rows ...]  (default 10M 100M)
+       python tools/cdc_scale_probe.py --ivm  [n_keys ...]  (default 10M 50M)
 Prints one JSON line per size.
+
+--ivm probes lifecycle.ivm (round 8): maintain a grouped COUNT/SUM
+view from a slice touching n/500 keys via state-transition deltas, vs
+recomputing the aggregate from the merged full state. The claim under
+test: maintenance cost ∝ slice + |groups| (snapshot probe-side of
+broadcast joins, full state never reshuffled).
 
 --scd2 probes scd2_from_changelog (round 8): a changelog of n_rows
 (R=5 versions per key; ~1/3 of versions change state, ~1/11 delete)
@@ -122,8 +129,83 @@ def scd2_probe(spark, sizes: list[int]) -> None:
         )
 
 
+def ivm_probe(spark, sizes: list[int]) -> None:
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import apply_changelog
+    from aws_imdb_data_pipeline_spark.lifecycle.ivm import (
+        grouped_state_agg,
+        maintain_grouped_agg,
+        state_transition_deltas,
+    )
+
+    for n in sizes:
+      for n_groups in (1000, n // 10):
+        # snapshot: n live keys; slice touches n/500. Two view
+        # cardinalities: 1000 groups (map-side combine collapses the
+        # recompute to a near-free scan — IVM's worst case) and n/10
+        # groups (the recompute must shuffle an n/10-row aggregate —
+        # the regime IVM exists for).
+        snapshot = spark.range(n).select(
+            F.col("id").alias("k"),
+            F.lit(1).alias("seq"),
+            (F.col("id") % n_groups).alias("g"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        n_slice = n // 500
+        slice_ = spark.range(n_slice).select(
+            (F.col("id") * 500).alias("k"),
+            F.lit(2).alias("seq"),
+            F.when(F.col("id") % 10 == 8, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            ((F.col("id") + 7) % n_groups).alias("g"),
+            F.lit(3.5).alias("v"),
+        )
+        # the base view is PERSISTED state from the prior cycle — it
+        # must not be recomputed inside the maintenance timing
+        import tempfile
+
+        base_dir = tempfile.mkdtemp(prefix="ivm_probe_base_")
+        grouped_state_agg(snapshot, ["g"], "v").write.mode(
+            "overwrite"
+        ).parquet(base_dir)
+        base = spark.read.parquet(base_dir)
+        t0 = time.perf_counter()
+        deltas = state_transition_deltas(snapshot, slice_, ["k"], ["seq"])
+        maintain_grouped_agg(base, deltas, ["g"], "v").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        ivm_s = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        full = apply_changelog(snapshot, slice_, ["k"], ["seq"])
+        grouped_state_agg(full, ["g"], "v").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rec_s = round(time.perf_counter() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "mode": "ivm",
+                    "n_keys": n,
+                    "n_slice": n_slice,
+                    "n_groups": n_groups,
+                    "maintain_sec": ivm_s,
+                    "recompute_sec": rec_s,
+                    "speedup": round(rec_s / ivm_s, 1) if ivm_s else None,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     args = list(sys.argv[1:])
+    if "--ivm" in args:
+        args.remove("--ivm")
+        spark = get_spark("cdc-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        ivm_probe(spark, [int(a) for a in args] or [10_000_000, 50_000_000])
+        return
     if "--scd2" in args:
         args.remove("--scd2")
         spark = get_spark("cdc-probe")
