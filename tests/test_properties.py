@@ -469,3 +469,100 @@ def test_trim_duplicated_spans_matches_python_reference(spark, docs, k):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    base=st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.integers(1, 5)),
+        max_size=12,
+    ),
+    batch=st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.integers(1, 5)),
+        max_size=12,
+    ),
+)
+@SLOW
+def test_merge_dfl_is_additive_for_any_vocabularies(spark, base, batch):
+    """merge_dfl(base, delta) == per-term sums, for ANY pair of
+    vocabularies (including disjoint terms and empty sides) — df/cf
+    are mergeable statistics; the full-outer merge must never drop or
+    double a term."""
+    from collections import defaultdict
+
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import merge_dfl
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(w, df, df * 2) for w, df in rows],
+            "lword string, df long, cf long",
+        ).groupBy("lword").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )
+
+    got = {
+        r.lword: (r.df, r.cf)
+        for r in merge_dfl(frame(base), frame(batch)).collect()
+    }
+    want: dict = defaultdict(lambda: [0, 0])
+    for w, df in base + batch:
+        want[w][0] += df
+        want[w][1] += df * 2
+    assert got == {w: tuple(v) for w, v in want.items()}
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(1, 4),              # key
+            st.sampled_from("IUD"),         # op
+            st.sampled_from("xyz"),         # group attr
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    cut=st.integers(0, 14),
+)
+@SLOW
+def test_ivm_base_plus_delta_equals_recompute_any_log(spark, ops, cut):
+    """For ANY changelog and ANY base/slice split point: maintaining
+    the grouped COUNT/SUM view with state-transition deltas equals
+    recomputing it from the merged state — including groups that
+    empty out (absent, not zero-count) and keys that churn
+    I→D→I across the split."""
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import (
+        apply_changelog,
+        latest_state,
+    )
+    from aws_imdb_data_pipeline_spark.lifecycle.ivm import (
+        grouped_state_agg,
+        maintain_grouped_agg,
+        state_transition_deltas,
+    )
+
+    cut = min(cut, len(ops))
+    rows = [
+        (k, seq + 1, op, v) for seq, (k, op, v) in enumerate(ops)
+    ]
+    mk = lambda rs: spark.createDataFrame(
+        rs or [(0, 0, "D", "x")],  # empty side -> harmless tombstone
+        "k long, seq long, op string, v string",
+    )
+    base_log, slice_log = mk(rows[:cut]), mk(rows[cut:])
+    snapshot = latest_state(base_log, ["k"], ["seq"])
+    base = grouped_state_agg(snapshot, ["v"], "seq", "n", "s")
+    deltas = state_transition_deltas(snapshot, slice_log, ["k"], ["seq"])
+    got = {
+        r.v: (r.n, r.s)
+        for r in maintain_grouped_agg(
+            base, deltas, ["v"], "seq", "n", "s"
+        ).collect()
+    }
+    full = apply_changelog(snapshot, slice_log, ["k"], ["seq"])
+    want = {
+        r.v: (r.n, r.s)
+        for r in grouped_state_agg(full, ["v"], "seq", "n", "s").collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert abs(got[g][1] - want[g][1]) < 1e-9
