@@ -738,3 +738,88 @@ def test_stream_bm25_topk_matches_batch_serve(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert got_df.select("batch_id").distinct().count() >= 2
+
+
+def test_stream_ivm_view_matches_recompute_and_skips_replay(
+    spark, sf_dir, tmp_path
+):
+    """Streaming IVM (streaming/ivmserve.py): the changelog arriving
+    in micro-batches maintains a grouped COUNT/SUM view whose final
+    committed version equals the from-scratch aggregate of the full
+    collapsed state; a full REPLAY of the feed (fresh checkpoint, same
+    state dir) is skipped by the version marker and changes nothing."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import latest_state
+    from aws_imdb_data_pipeline_spark.lifecycle.ivm import grouped_state_agg
+    from aws_imdb_data_pipeline_spark.plans.cdc import _as_changelog
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming.ivmserve import (
+        current_view,
+        stream_ivm_grouped_agg,
+    )
+
+    ev = _as_changelog(load_table(spark, sf_dir, "events"))
+    # 2 files -> 2 micro-batches; ORDER matters for CDC, so split by
+    # time (one file per half), not by hash repartition
+    split = "2024-01-15"
+    feed = str(tmp_path / "feed")
+    ev.filter(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.parquet(feed)
+    ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(feed)
+
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = stream_ivm_grouped_agg(
+            stream, state, ckpt,
+            keys=["user_id"], seq_cols=["ts", "event_id"],
+            group_cols=["event_type"], val_col="value",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    marker1 = json.load(open(os.path.join(state, "_latest.json")))
+    got = {
+        r.event_type: (r.n_keys, r.sum_value)
+        for r in current_view(spark, state).collect()
+    }
+    full_state = latest_state(ev, ["user_id"], ["ts", "event_id"])
+    want = {
+        r.event_type: (r.n_keys, r.sum_value)
+        for r in grouped_state_agg(full_state, ["event_type"], "value").collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert abs(got[g][1] - want[g][1]) < 1e-6
+
+    # NOTE per-batch order: file source delivers files in discovery
+    # order here; with >= 2 batches the second one exercised the
+    # delta-maintenance path (marker advanced past 0)
+    assert marker1["batch_id"] >= 1
+
+    # replay the whole feed with a fresh checkpoint: every batch_id is
+    # <= the committed marker -> skipped, state byte-identical
+    mtime = os.stat(os.path.join(state, "_latest.json")).st_mtime_ns
+    run(str(tmp_path / "ckpt2"))
+    assert os.stat(os.path.join(state, "_latest.json")).st_mtime_ns == mtime
+    got2 = {
+        r.event_type: (r.n_keys, r.sum_value)
+        for r in current_view(spark, state).collect()
+    }
+    assert got2 == got
