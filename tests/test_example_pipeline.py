@@ -148,3 +148,19 @@ def test_ingest_example_runs_end_to_end(tmp_path, spark):
     assert report["matched_recrawls"] > 0      # re-crawls were caught
     assert report["landed"] > 0                # new pages got through
     assert report["sources"] >= 2
+
+
+def test_retrieval_pipeline_example(spark, sf_dir, tmp_path):
+    """examples/run_retrieval_pipeline.py composes: artifact build →
+    BM25 → hard negatives → hybrid fusion → streaming serve; the
+    streamed result count equals the batch BM25 count (same query
+    set, same k) and negatives never contain their gold."""
+    from run_retrieval_pipeline import run_retrieval
+
+    stats = run_retrieval(spark, sf_dir, str(tmp_path))
+    assert stats["corpus_docs"] > 0 and stats["corpus_tokens"] > 0
+    assert stats["bm25_results"] > 0
+    assert stats["stream_served"] == stats["bm25_results"]
+    assert stats["hard_negatives"] > 0 and stats["hybrid_results"] > 0
+    pairs = spark.read.parquet(str(tmp_path / "contrastive_pairs"))
+    assert pairs.filter("gold_doc_id = negative_doc_id").count() == 0
