@@ -16,6 +16,16 @@ rows-only query can't expose.
 Floors are chosen with margin below the measured deterministic values
 (fixed seeds + fixed corpus => fixed recall; see each docstring) so
 they hold at every shipped SF while still failing on real damage.
+
+Coverage: every substantive rows-only query now has a companion here
+(fingerprint, MinHash pairs, sign-LSH / IVF / IVF-PQ ANN, embedding-
+LSH near-dup, HLL profile, hash split, incremental near-dup, semantic
+dedup, the k-means cell family). Deliberately absent: the two index-
+BUILD summaries (their artifact roundtrip is the contract, tested in
+test_similarity.py/test_artifacts.py) and SimHash (measured planted-
+variant detection swings 0.59-0.83 across SFs — a pinned floor would
+be either flaky or vacuous; its banding guarantee is property-tested
+instead).
 """
 
 from __future__ import annotations
@@ -527,3 +537,201 @@ def dq_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "dedup_incremental_check",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+               AS n_recrawled,
+           true AS all_recrawls_found_exact,
+           true AS no_below_threshold_pair
+    """,
+    operators=("EXT-dedup", "A6", "J1"),
+)
+def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract of incremental near-dup against the persisted band
+    index (dedup_incremental_near — rows-only as a value query):
+
+    - ``n_recrawled``: the planted re-crawl batch size (every 7th doc
+      re-shipped verbatim under a shifted id) — engine-independent,
+      value-checked exactly;
+    - ``all_recrawls_found_exact``: every re-crawled doc is paired
+      with its source at Jaccard 1.0. This is LSH's no-miss case —
+      identical shingle sets share EVERY band, so banding cannot drop
+      the pair; a miss here means the index or the probe broke;
+    - ``no_below_threshold_pair``: the exact-Jaccard verify keeps
+      nothing under the 0.8 threshold."""
+    from aws_imdb_data_pipeline_spark.plans.extensions import _recrawl_batch
+    from aws_imdb_data_pipeline_spark.plans.registry import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = REGISTRY["dedup_incremental_near"].fn(spark, sf_dir)
+    shift = docs.agg((F.max("doc_id") + 1).alias("__s"))
+    expected = (
+        _recrawl_batch(docs)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            F.col("doc_id").alias("new_id"),
+            (F.col("doc_id") - F.col("__s")).alias("corpus_id"),
+        )
+    )
+    hit = (
+        expected.join(
+            pairs.filter(F.col("jaccard") == 1.0), ["new_id", "corpus_id"]
+        )
+    )
+    agg = (
+        expected.agg(F.count(F.lit(1)).alias("__ne"))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("__nh"))))
+        .crossJoin(
+            F.broadcast(
+                pairs.agg(
+                    F.sum(
+                        F.when(F.col("jaccard") < 0.8, 1).otherwise(0)
+                    ).alias("__below")
+                )
+            )
+        )
+    )
+    return agg.select(
+        F.col("__ne").cast("bigint").alias("n_recrawled"),
+        (F.col("__nh") == F.col("__ne")).alias("all_recrawls_found_exact"),
+        (F.coalesce(F.col("__below"), F.lit(0)) == 0).alias(
+            "no_below_threshold_pair"
+        ),
+    )
+
+
+@register(
+    "semantic_dedup_check",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           (SELECT COUNT(*) FROM embeddings WHERE vec_id % 9 = 0)
+               AS n_twins_planted,
+           true AS no_planted_twin_survives,
+           true AS survivors_are_subset
+    """,
+    operators=("EXT-dedup", "EXT-sim", "A6", "J1"),
+)
+def semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract of SemDeDup-style semantic dedup
+    (semantic_dedup_survivors — rows-only as a value query): plant an
+    EXACT duplicate of every 9th embedding under a shifted id, run the
+    dedup over the augmented corpus, and pin:
+
+    - ``no_planted_twin_survives``: a planted copy never survives —
+      its source has cosine 1.0 (>= any threshold), lands in the same
+      cell (identical vector), joins the same group, and loses the
+      min-id survivor rule to the smaller original id;
+    - ``survivors_are_subset``: every survivor id is an augmented-
+      corpus member. Counts are engine-independent and value-checked.
+
+    The quantizer is fit on the augmented corpus here (the planted ids
+    change the input, so the shared per-corpus artifact does not
+    apply); identical vectors land in identical cells regardless of
+    the fit, which is all the contract needs."""
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shift = emb.agg((F.max("vec_id") + 1).alias("__s"))
+    twins = (
+        emb.filter(F.col("vec_id") % 9 == 0)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("vec_id") + F.col("__s")).alias("vec_id"), "embedding"
+        )
+    )
+    aug = emb.unionByName(twins)
+    survivors = semantic_dedup(
+        aug, "vec_id", "embedding", threshold=0.8
+    ).filter(F.col("is_survivor"))
+    twin_ids = twins.select(F.col("vec_id").alias("id"))
+    aug_ids = aug.select(F.col("vec_id").alias("id"))
+    agg = (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(
+            F.broadcast(
+                twin_ids.agg(F.count(F.lit(1)).alias("n_twins_planted"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                survivors.join(F.broadcast(twin_ids), "id", "left_semi")
+                .agg(F.count(F.lit(1)).alias("__twin_surv"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                survivors.join(aug_ids, "id", "left_anti")
+                .agg(F.count(F.lit(1)).alias("__outside"))
+            )
+        )
+    )
+    return agg.select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.col("n_twins_planted").cast("bigint").alias("n_twins_planted"),
+        (F.col("__twin_surv") == 0).alias("no_planted_twin_survives"),
+        (F.col("__outside") == 0).alias("survivors_are_subset"),
+    )
+
+
+@register(
+    "cluster_artifact_check",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           true AS sizes_sum_to_n,
+           true AS caps_respected,
+           true AS after_is_min_of_cap
+    """,
+    operators=("EXT-sim", "EXT-corpus", "A2"),
+)
+def cluster_artifact_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract of the k-means cell family served from the shared
+    assignment artifact (embedding_cluster_sizes +
+    cluster_balanced_sample — rows-only as value queries): the cell
+    assignment is a PARTITION of the corpus (sizes sum to N, nothing
+    lost or duplicated), and the balanced sampler's per-cell output is
+    EXACTLY min(cell size, cap) — the cap binds where cells are big
+    and is inert where they are small. n_vectors is engine-independent
+    and value-checked."""
+    from aws_imdb_data_pipeline_spark.plans.registry import REGISTRY
+
+    sizes = REGISTRY["embedding_cluster_sizes"].fn(spark, sf_dir)
+    sample = REGISTRY["cluster_balanced_sample"].fn(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    agg = (
+        n.crossJoin(
+            F.broadcast(sizes.agg(F.sum("n_vectors").alias("__sum_sizes")))
+        )
+        .crossJoin(
+            F.broadcast(
+                sample.agg(
+                    F.sum(
+                        F.when(F.col("n_after") > 20, 1).otherwise(0)
+                    ).alias("__over_cap"),
+                    F.sum(
+                        F.when(
+                            F.col("n_after")
+                            != F.least(F.col("n_before"), F.lit(20)),
+                            1,
+                        ).otherwise(0)
+                    ).alias("__not_min"),
+                )
+            )
+        )
+    )
+    return agg.select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        (F.col("__sum_sizes") == F.col("n_vectors")).alias("sizes_sum_to_n"),
+        (F.coalesce(F.col("__over_cap"), F.lit(0)) == 0).alias(
+            "caps_respected"
+        ),
+        (F.coalesce(F.col("__not_min"), F.lit(0)) == 0).alias(
+            "after_is_min_of_cap"
+        ),
+    )
