@@ -606,9 +606,10 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_check",
     oracle="""
-    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
-           (SELECT COUNT(*) FROM embeddings WHERE vec_id % 9 = 0)
-               AS n_twins_planted,
+    SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 2000)
+               AS n_vectors,
+           (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id < 2000 AND vec_id % 9 = 0) AS n_twins_planted,
            true AS no_planted_twin_survives,
            true AS survivors_are_subset
     """,
@@ -627,15 +628,22 @@ def semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``survivors_are_subset``: every survivor id is an augmented-
       corpus member. Counts are engine-independent and value-checked.
 
-    The quantizer is fit on the augmented corpus here (the planted ids
-    change the input, so the shared per-corpus artifact does not
-    apply); identical vectors land in identical cells regardless of
-    the fit, which is all the contract needs."""
+    No quantizer is FIT here at all: the contract must hold under ANY
+    cell assignment that maps identical vectors to identical cells, so
+    the check injects a deterministic hash-cell assignment
+    (xxhash64(embedding) mod 16) via the ``assignments`` hook — zero
+    MLlib fixed cost (a KMeans fit alone is ~10 s of job overhead),
+    and a STRONGER statement than checking one fitted layout. The
+    check also runs on a fixed 2,000-vector slice: the per-cell scan
+    is quadratic by design and the contract is slice-size-independent
+    (the full-corpus dedup cost story lives in SCALE.md §18)."""
     from aws_imdb_data_pipeline_spark.extensions.similarity import (
         semantic_dedup,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 2000)
     shift = emb.agg((F.max("vec_id") + 1).alias("__s"))
     twins = (
         emb.filter(F.col("vec_id") % 9 == 0)
@@ -645,8 +653,13 @@ def semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     aug = emb.unionByName(twins)
+    assigned = aug.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__arr"),
+        F.pmod(F.xxhash64("embedding"), F.lit(16)).cast("int").alias("__list"),
+    )
     survivors = semantic_dedup(
-        aug, "vec_id", "embedding", threshold=0.8
+        aug, "vec_id", "embedding", threshold=0.8, assignments=assigned
     ).filter(F.col("is_survivor"))
     twin_ids = twins.select(F.col("vec_id").alias("id"))
     aug_ids = aug.select(F.col("vec_id").alias("id"))
