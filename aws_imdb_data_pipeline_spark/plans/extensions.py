@@ -957,8 +957,10 @@ def ann_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (F.levenshtein — identical DP
     semantics across engines). Bounded to a small key range: pairwise
-    edit distance is the verify kernel; at scale, candidates come from
-    the LSH/fingerprint paths first."""
+    edit distance is the verify kernel; the EXACT scale path (lossless
+    q-gram prefix blocking, no cross join) is
+    operators/fuzzyjoin.py::qgram_edit_join, registered as
+    fuzzy_name_pairs_blocked / fuzzy_name_groups (extensions6)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
     a = part.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
     b = part.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))

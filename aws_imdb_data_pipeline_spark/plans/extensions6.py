@@ -1,0 +1,260 @@
+"""Sixth extensions batch (round 8): entity resolution by lossless
+fuzzy join (q-gram prefix blocking, operators/fuzzyjoin.py) and
+distribution-drift monitoring (PSI + discretized KS) — the two
+remaining curation primitives a training-data pipeline leans on that
+the engine didn't yet expose as registered queries. All SQL-oracled.
+
+Reference parity note: the reference pipeline (reference
+glue/transform job) has no fuzzy matching or drift monitoring; these
+are beyond-reference additions in the same family as extensions/dedup
+(entity resolution = dedup over KEYS instead of documents; drift =
+the DQ profile family extended across time windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+def _distinct_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity-resolution vocabulary: DISTINCT part names. At 100 TB
+    the distinct-key set is orders of magnitude smaller than the fact
+    table (here 64 vs 2k rows at sf0.01) — fuzzy matching always runs
+    on the deduplicated vocabulary, never the raw rows."""
+    return load_table(spark, sf_dir, "part").select("p_name").distinct()
+
+
+@register(
+    "fuzzy_name_pairs_blocked",
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM d a JOIN d b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    operators=("EXT-fuzzy", "U2", "J3", "F-lev"),
+)
+def fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All DISTINCT part-name pairs within edit distance 2 — the
+    candidate link set for entity resolution / catalog dedup
+    ("red widget" vs "red widgets"). The SCALE path for what
+    plans/extensions.py::fuzzy_part_name_pairs verifies as a bounded
+    cross-join kernel: EXACT semantics, because the q-gram prefix
+    blocking (operators/fuzzyjoin.py) is lossless — the output equals
+    the oracle's nested-loop answer while the plan joins on
+    (gram, occurrence) equi-keys. At a 10^8-name vocabulary the cross
+    join is 10^16 pairs, the blocked join is candidates only
+    (measured in tools/fuzzy_join_probe.py; SCALE.md §30)."""
+    from aws_imdb_data_pipeline_spark.operators.fuzzyjoin import (
+        qgram_edit_join,
+    )
+
+    d = _distinct_part_names(spark, sf_dir)
+    pairs = qgram_edit_join(
+        d,
+        d,
+        left_id="p_name",
+        left_str="p_name",
+        right_id="p_name",
+        right_str="p_name",
+        max_dist=2,
+        q=2,
+    )
+    return (
+        pairs.filter(F.col("p_name_l") < F.col("p_name_r"))
+        .select(
+            F.col("p_name_l").alias("name_a"),
+            F.col("p_name_r").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+@register(
+    "fuzzy_name_groups",
+    oracle="""
+    WITH RECURSIVE
+    d AS (SELECT DISTINCT p_name FROM part),
+    e AS (
+        SELECT a.p_name AS s, b.p_name AS t
+        FROM d a JOIN d b
+          ON a.p_name <> b.p_name
+         AND levenshtein(a.p_name, b.p_name) <= 1
+    ),
+    reach AS (
+        SELECT p_name AS node, p_name AS lbl FROM d
+        UNION
+        SELECT e.s AS node, r.lbl
+        FROM reach r JOIN e ON e.t = r.node
+    ),
+    canon AS (
+        SELECT node AS p_name, MIN(lbl) AS canonical
+        FROM reach GROUP BY node
+    )
+    SELECT c.canonical,
+           CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_names,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(p.p_retailprice), 2) AS avg_price
+    FROM part p JOIN canon c ON c.p_name = p.p_name
+    GROUP BY c.canonical
+    HAVING COUNT(DISTINCT p.p_name) > 1
+    """,
+    operators=("EXT-fuzzy", "EXT-cc", "A3", "J1"),
+)
+def fuzzy_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: fuzzy-link distinct part names at
+    edit distance 1, collapse links into canonical groups (connected
+    components, min-name label), then roll the FACT rows up to the
+    resolved entity — only groups that actually merged names (>1
+    distinct spelling). The full catalog-dedup composite: blocking →
+    verify → cluster → canonicalize → aggregate.
+
+    Scale: CC runs on the name-pair graph (vocabulary-sized, tiny
+    relative to facts); the fact rollup is one hash aggregate after a
+    broadcast-able join of facts to the name→canonical map. The
+    oracle reproduces the clustering as a recursive CTE — feasible
+    because the ORACLE-side graph is the sf-sized vocabulary; the
+    Spark side is the iteration-bounded label propagation of
+    extensions/clusters.py (probed to 10^7 edges, SCALE.md §8)."""
+    from aws_imdb_data_pipeline_spark.extensions.clusters import (
+        connected_components,
+    )
+    from aws_imdb_data_pipeline_spark.operators.fuzzyjoin import (
+        qgram_edit_join,
+    )
+
+    d = _distinct_part_names(spark, sf_dir)
+    pairs = (
+        qgram_edit_join(
+            d,
+            d,
+            left_id="p_name",
+            left_str="p_name",
+            right_id="p_name",
+            right_str="p_name",
+            max_dist=1,
+            q=2,
+        )
+        .filter(F.col("p_name_l") < F.col("p_name_r"))
+        .select(
+            F.col("p_name_l").alias("id_a"), F.col("p_name_r").alias("id_b")
+        )
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("p_name"), F.col("component").alias("canonical")
+    )
+    part = load_table(spark, sf_dir, "part")
+    # Names with no fuzzy link are their own (singleton) entity; the
+    # HAVING keeps only merged groups, so singletons drop out anyway —
+    # left join + coalesce keeps the rollup total-preserving first.
+    labeled = part.join(F.broadcast(comp), "p_name", "left").withColumn(
+        "canonical", F.coalesce("canonical", "p_name")
+    )
+    out = (
+        labeled.groupBy("canonical")
+        .agg(
+            F.countDistinct("p_name").alias("n_names"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .filter(F.col("n_names") > 1)
+    )
+    return out
+
+
+_PSI_BINS = 11  # fixed-width value bins: floor(value/10) capped at 10
+
+
+@register(
+    "events_drift_psi",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(least(floor(value / 10), 10) AS INTEGER) AS bin,
+               (ts < TIMESTAMP '2024-01-16') AS in_a
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, bin,
+               COUNT(*) FILTER (WHERE in_a)     AS cnt_a,
+               COUNT(*) FILTER (WHERE NOT in_a) AS cnt_b
+        FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type,
+               SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b
+        FROM cells GROUP BY event_type
+    ),
+    terms AS (
+        SELECT c.event_type, c.bin,
+               (c.cnt_a + 1.0) / (t.n_a + {_PSI_BINS}) AS p,
+               (c.cnt_b + 1.0) / (t.n_b + {_PSI_BINS}) AS q,
+               SUM(c.cnt_a) OVER w / t.n_a AS cdf_a,
+               SUM(c.cnt_b) OVER w / t.n_b AS cdf_b,
+               t.n_a, t.n_b
+        FROM cells c JOIN tot t USING (event_type)
+        WINDOW w AS (PARTITION BY c.event_type ORDER BY c.bin)
+    )
+    SELECT event_type,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           ROUND(MAX(ABS(cdf_a - cdf_b)), 6) AS ks_stat,
+           CAST(ANY_VALUE(n_a) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(n_b) AS BIGINT) AS n_b
+    FROM terms
+    GROUP BY event_type
+    """,
+    operators=("EXT-drift", "A1", "W4", "P9"),
+)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two time windows (first vs
+    second half of the month), per event_type: Population Stability
+    Index over fixed-width value bins (Laplace-smoothed so empty bins
+    contribute finitely — the SAME smoothing on both engines keeps the
+    oracle bit-equal) and the discretized Kolmogorov-Smirnov statistic
+    (max CDF gap over the bin order). The standard pre-training gate
+    for "did this source's distribution move since the last crawl".
+
+    One scan, one shuffle: bin label and window flag are row-local
+    expressions; the (event_type, bin) cell aggregate is map-side
+    combinable; totals and CDFs are per-type window sums over the
+    11-row-per-type cell frame — negligible regardless of event count.
+    At 100 TB the cell frame is |types| × |bins| rows, so drift over
+    any number of events reduces to one partial-aggregate pass."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 10), F.lit(10))
+        .cast("int")
+        .alias("bin"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("in_a"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("cnt_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("cnt_b"),
+    )
+    wt = Window.partitionBy("event_type")
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    terms = (
+        cells.withColumn("n_a", F.sum("cnt_a").over(wt))
+        .withColumn("n_b", F.sum("cnt_b").over(wt))
+        .withColumn("p", (F.col("cnt_a") + 1.0) / (F.col("n_a") + _PSI_BINS))
+        .withColumn("q", (F.col("cnt_b") + 1.0) / (F.col("n_b") + _PSI_BINS))
+        .withColumn("cdf_a", F.sum("cnt_a").over(wc) / F.col("n_a"))
+        .withColumn("cdf_b", F.sum("cnt_b").over(wc) / F.col("n_b"))
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi"),
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias(
+            "ks_stat"
+        ),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
