@@ -144,3 +144,57 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
         raw = wv.readframes(wv.getnframes())
     arr = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
     return arr, rate
+
+
+# ---------------------------------------------------------------------------
+# Frame-pack container: the minimal real "video" a stdlib-only engine
+# can parse. Layout: b"FPK1" | u16 n_frames | u32 frame_interval_ms |
+# n_frames * (u32 length | PNG bytes). Real container parsing (offsets,
+# bounds, magic) — swapping in pyav for true codecs touches only the
+# encode/decode pair, never the Spark plumbing built on it.
+# ---------------------------------------------------------------------------
+
+_FPK_MAGIC = b"FPK1"
+
+
+def encode_framepack(frames: list[bytes], interval_ms: int) -> bytes:
+    """Pack PNG frame blobs into the FPK1 container."""
+    if len(frames) > 0xFFFF:
+        raise ValueError("too many frames")
+    out = [_FPK_MAGIC, struct.pack(">HI", len(frames), interval_ms)]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_framepack(data: bytes) -> tuple[list[bytes], int]:
+    """Unpack an FPK1 container → (frame blobs, frame interval ms).
+
+    Raises ValueError on bad magic / truncation — callers treat that
+    as an undecodable payload, same policy as the PNG/WAV kernels.
+    """
+    if data[:4] != _FPK_MAGIC:
+        raise ValueError("not an FPK1 framepack")
+    n, interval_ms = struct.unpack_from(">HI", data, 4)
+    pos, frames = 10, []
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("truncated framepack header")
+        (length,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+        if pos + length > len(data):
+            raise ValueError("truncated framepack frame")
+        frames.append(data[pos : pos + length])
+        pos += length
+    return frames, interval_ms
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W, C) uint8 pixels: source index
+    = floor(dst_index * src / dst) — the exact mapping the SQL oracles
+    mirror as (y * h) // out_h, so resize is verifiable end to end."""
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]

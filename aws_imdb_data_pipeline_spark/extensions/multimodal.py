@@ -166,7 +166,138 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             samples = rng.integers(-2000, 2000, size=n_samp).astype(np.int16)
             payload = encode_wav_pcm16(samples, 8000)
             rows.append((i, kind, payload, "audio/wav", None, None, n_samp * 1000 // 8000))
-        else:
+        elif i % 6 == 5:
+            # undecodable video payload — keeps the poison path honest
             payload = bytes((i * 7 + j) % 256 for j in range(32 + (i % 5) * 16))
             rows.append((i, kind, payload, "application/x-video", 64, 64, 1000))
+        else:
+            from aws_imdb_data_pipeline_spark.extensions.codecs import (
+                encode_framepack,
+            )
+
+            n_frames = 2 + (i % 4)
+            frames = [
+                encode_png(
+                    rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+                )
+                for _ in range(n_frames)
+            ]
+            payload = encode_framepack(frames, 40)
+            rows.append(
+                (i, kind, payload, "video/x-framepack", 8, 6, n_frames * 40)
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("orig_width", IntegerType(), True),
+        StructField("orig_height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of PNG payloads, Arrow-batched.
+
+    Full real round trip per row: decode PNG → index-map resize
+    (codecs.resize_nearest; the (y*h)//out_h mapping the SQL oracle
+    mirrors) → re-encode PNG → decode AGAIN for the reported
+    mean_luma, so the output stats describe the actual emitted
+    payload, not the intermediate array. Undecodable payloads yield a
+    row with NULL dims/payload (poison-safe, same policy as _decode).
+    """
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {
+                    "media_id": mid, "orig_width": None, "orig_height": None,
+                    "width": None, "height": None, "mean_luma": None,
+                    "payload": None,
+                }
+                try:
+                    px = decode_png(bytes(payload))
+                    small = resize_nearest(px, out_w, out_h)
+                    blob = encode_png(small)
+                    back = decode_png(blob)
+                    row.update(
+                        orig_width=px.shape[1], orig_height=px.shape[0],
+                        width=back.shape[1], height=back.shape[0],
+                        mean_luma=float(back.mean()), payload=blob,
+                    )
+                except Exception:  # noqa: BLE001 — poison payloads → NULL row
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
+    """Sample every ``every_n``-th frame from FPK1 video payloads —
+    the 1→N explode of the multimodal family (one input row yields a
+    row per sampled frame; Arrow batches keep peak memory at one
+    batch of decoded frames, not one video). Each sampled frame is
+    REALLY parsed out of the container and PNG-decoded for its stats;
+    undecodable containers contribute zero rows (poison-safe), which
+    is the correct semantics for an explode."""
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_framepack,
+        decode_png,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FRAME_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames, interval_ms = decode_framepack(bytes(payload))
+                except Exception:  # noqa: BLE001 — not a framepack → no rows
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    try:
+                        px = decode_png(frames[idx])
+                        w, h, luma = px.shape[1], px.shape[0], float(px.mean())
+                    except Exception:  # noqa: BLE001 — poison frame
+                        w = h = luma = None
+                    rows.append(
+                        {
+                            "media_id": mid, "frame_idx": idx,
+                            "ts_ms": idx * interval_ms, "width": w,
+                            "height": h, "mean_luma": luma,
+                            "frame": frames[idx],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )

@@ -153,3 +153,110 @@ def test_wav_roundtrip():
     assert len(blob) == 44 + 2 * 777
     arr, rate = decode_wav_pcm16(blob)
     assert rate == 8000 and arr.shape == (777, 1) and (arr[:, 0] == s).all()
+
+
+def test_framepack_roundtrip_and_truncation():
+    import numpy as np
+    import pytest as _pt
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_framepack,
+        encode_framepack,
+        encode_png,
+    )
+
+    frames = [
+        encode_png(np.full((3, 5, 3), i * 10, np.uint8)) for i in range(4)
+    ]
+    blob = encode_framepack(frames, 33)
+    back, iv = decode_framepack(blob)
+    assert back == frames and iv == 33
+    with _pt.raises(ValueError):
+        decode_framepack(b"NOPE" + blob[4:])
+    with _pt.raises(ValueError):
+        decode_framepack(blob[:-3])  # truncated final frame
+
+
+def test_resize_nearest_matches_numpy_model():
+    import numpy as np
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import resize_nearest
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    out = resize_nearest(px, 4, 5)
+    for y in range(5):
+        for x in range(4):
+            assert (out[y, x] == px[(y * 7) // 5, (x * 13) // 4]).all()
+
+
+def test_resize_images_poison_and_content(spark):
+    import numpy as np
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    rows = [
+        (0, "image", encode_png(px), "image/png", 12, 10, None),
+        (1, "image", b"junk-not-a-png", "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in resize_images(media, 6, 5).collect()}
+    ok = got[0]
+    assert (ok.orig_width, ok.orig_height, ok.width, ok.height) == (12, 10, 6, 5)
+    # emitted payload decodes to exactly the numpy-model resize
+    assert (decode_png(bytes(ok.payload)) == resize_nearest(px, 6, 5)).all()
+    bad = got[1]
+    assert bad.payload is None and bad.width is None  # poison → NULL row
+
+
+def test_sample_frames_structure_and_poison(spark):
+    import numpy as np
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        encode_framepack,
+        encode_png,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    frames = [
+        encode_png(np.full((2, 2, 3), 40 + i, np.uint8)) for i in range(5)
+    ]
+    rows = [
+        (0, "video", encode_framepack(frames, 40), "video/x-framepack", 2, 2, 200),
+        (1, "video", b"garbage", "video/x-framepack", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sorted(sample_frames(media, 2).collect(), key=lambda r: r.frame_idx)
+    assert [r.media_id for r in got] == [0, 0, 0]  # poison row → no rows
+    assert [(r.frame_idx, r.ts_ms) for r in got] == [(0, 0), (2, 80), (4, 160)]
+    assert all((r.width, r.height) == (2, 2) for r in got)
+    assert [r.mean_luma for r in got] == [40.0, 42.0, 44.0]
+
+
+def test_synthetic_media_video_frames_real(spark):
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30).filter("kind = 'video'")
+    frames = sample_frames(media, 1).collect()
+    # framepack videos (i % 6 != 5) yield real decoded frames
+    decodable = {r.media_id for r in frames}
+    assert decodable  # at least the non-poison videos
+    assert all(r.width == 8 and r.height == 6 for r in frames)
+    poison = {r.media_id for r in media.collect()} - decodable
+    assert poison == {m for m in poison if m % 6 == 5}
