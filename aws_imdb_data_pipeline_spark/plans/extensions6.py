@@ -226,39 +226,24 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     11-row-per-type cell frame — negligible regardless of event count.
     At 100 TB the cell frame is |types| × |bins| rows, so drift over
     any number of events reduces to one partial-aggregate pass."""
+    from aws_imdb_data_pipeline_spark.extensions.drift import (
+        bin_value,
+        psi_ks_from_cells,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     binned = ev.select(
         "event_type",
-        F.least(F.floor(F.col("value") / 10), F.lit(10))
-        .cast("int")
-        .alias("bin"),
+        bin_value("value").alias("bin"),
         (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("in_a"),
     )
+    # both windows' cells in ONE scan (the streaming plane builds the
+    # same frame by delta-merging per-batch cell counts instead)
     cells = binned.groupBy("event_type", "bin").agg(
         F.count(F.when(F.col("in_a"), 1)).alias("cnt_a"),
         F.count(F.when(~F.col("in_a"), 1)).alias("cnt_b"),
     )
-    wt = Window.partitionBy("event_type")
-    wc = Window.partitionBy("event_type").orderBy("bin")
-    terms = (
-        cells.withColumn("n_a", F.sum("cnt_a").over(wt))
-        .withColumn("n_b", F.sum("cnt_b").over(wt))
-        .withColumn("p", (F.col("cnt_a") + 1.0) / (F.col("n_a") + _PSI_BINS))
-        .withColumn("q", (F.col("cnt_b") + 1.0) / (F.col("n_b") + _PSI_BINS))
-        .withColumn("cdf_a", F.sum("cnt_a").over(wc) / F.col("n_a"))
-        .withColumn("cdf_b", F.sum("cnt_b").over(wc) / F.col("n_b"))
-    )
-    return terms.groupBy("event_type").agg(
-        F.round(
-            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
-            6,
-        ).alias("psi"),
-        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias(
-            "ks_stat"
-        ),
-        F.first("n_a").alias("n_a"),
-        F.first("n_b").alias("n_b"),
-    )
+    return psi_ks_from_cells(cells, "event_type", n_bins=_PSI_BINS)
 
 
 @register(

@@ -823,3 +823,77 @@ def test_stream_ivm_view_matches_recompute_and_skips_replay(
         for r in current_view(spark, state).collect()
     }
     assert got2 == got
+
+
+def test_stream_drift_matches_batch_and_skips_replay(spark, sf_dir, tmp_path):
+    """Streaming drift monitor (streaming/drift.py): window-B events
+    arriving in micro-batches against a frozen window-A reference must
+    commit EXACTLY the batch query's PSI/KS frame (shared cell→psi
+    algebra, extensions/drift.py), and a full replay with a fresh
+    checkpoint is skipped by the version marker."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.plans.extensions6 import (
+        events_drift_psi,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming.drift import (
+        current_drift,
+        reference_cells,
+        stream_drift_monitor,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = reference_cells(ev.filter(F.col("ts") < split), "event_type", "value")
+
+    feed = str(tmp_path / "feed")
+    b = ev.filter(F.col("ts") >= split).select("event_type", "value")
+    half = F.lit("2024-01-23").cast("timestamp")
+    ev.filter((F.col("ts") >= split) & (F.col("ts") < half)).select(
+        "event_type", "value"
+    ).coalesce(1).write.parquet(feed)
+    ev.filter(F.col("ts") >= half).select("event_type", "value").coalesce(
+        1
+    ).write.mode("append").parquet(feed)
+
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(b.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = stream_drift_monitor(
+            stream, ref, state, ckpt, trigger_available_now=True
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    marker1 = json.load(open(os.path.join(state, "_latest.json")))
+    assert marker1["batch_id"] >= 1  # two files -> two micro-batches
+
+    got = {
+        r.event_type: (r.psi, r.ks_stat, r.n_a, r.n_b)
+        for r in current_drift(spark, state).collect()
+    }
+    want = {
+        r.event_type: (r.psi, r.ks_stat, r.n_a, r.n_b)
+        for r in events_drift_psi(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # replay: fresh checkpoint re-delivers every batch; marker skips all
+    run(str(tmp_path / "ckpt2"))
+    marker2 = json.load(open(os.path.join(state, "_latest.json")))
+    assert marker2 == marker1
+    got2 = {
+        r.event_type: (r.psi, r.ks_stat, r.n_a, r.n_b)
+        for r in current_drift(spark, state).collect()
+    }
+    assert got2 == want
