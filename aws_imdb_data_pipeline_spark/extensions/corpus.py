@@ -771,3 +771,64 @@ def crawl_diff(
         .otherwise("changed")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, 2006)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly ``k`` rows, inclusion probability proportional to
+    weight, WITHOUT replacement — the Efraimidis–Spirakis exponential-
+    rank trick: give each row the key ``-ln(u) / w`` (u uniform in
+    (0,1)) and keep the k SMALLEST keys. One distributed top-k, no
+    sequential draws, no rejection loop.
+
+    The complement of ``mixture_sample``'s rate filter: that keeps a
+    deterministic FRACTION per source; this keeps an exact COUNT with
+    weight bias (e.g. "exactly 100k docs, biased by quality score").
+
+    u is hash-derived (53 bits of ``xxhash64(key, seed)``), not
+    ``rand()``, for the same reason mixture_sample's filter is: a
+    re-executed task re-emits the IDENTICAL sample, so retries and
+    speculative execution can't break exactly-once sinks, and the
+    sample is reproducible from (data, seed) alone. Zero/negative
+    weights are excluded (their E-S key is undefined/infinite).
+
+    ``group_cols`` switches to k-per-group (WindowGroupLimit instead
+    of the global TakeOrderedAndProject) — stratified quota sampling.
+
+    100 TB story: the E-S key is a row-local codegen expression; the
+    global form reduces per partition then merges k-sized heaps on the
+    driver (TakeOrderedAndProject), so the shuffle is k rows per
+    partition, never the corpus. Ref: Efraimidis & Spirakis, "Weighted
+    random sampling with a reservoir", IPL 97(5), 2006.
+    """
+    from aws_imdb_data_pipeline_spark.operators.topk import (
+        top_k_global,
+        top_n_per_group,
+    )
+
+    u = (
+        F.shiftrightunsigned(
+            F.xxhash64(F.col(key_col), F.lit(seed)), 11
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 53))
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "__es_key", -F.log(u) / F.col(weight_col)
+    )
+    order = [F.col("__es_key").asc(), F.col(key_col).asc()]
+    if group_cols:
+        out = top_n_per_group(keyed, group_cols, order, k)
+    else:
+        out = top_k_global(keyed, order, k)
+    return out.drop("__es_key")

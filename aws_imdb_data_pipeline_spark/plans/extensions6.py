@@ -408,3 +408,123 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "mean_luma",
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=None,  # sample identity is xxhash64-specific; see the _check
+    operators=("EXT-corpus", "O1", "W2"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 200 documents sampled WITHOUT replacement with
+    inclusion probability proportional to length (n_chars) —
+    Efraimidis–Spirakis exponential ranks over hash-derived uniforms
+    (extensions/corpus.py::weighted_sample_without_replacement). The
+    "exactly K docs, biased by quality/length" step of corpus
+    assembly; deterministic from (data, seed), so retries and
+    speculative tasks re-emit the identical sample. Rows-only (the
+    sample identity depends on xxhash64); its contract is the pinned
+    oracle of corpus_weighted_sample_check."""
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_without_replacement(
+        docs.select("doc_id", F.col("n_chars").cast("double").alias("w")),
+        "w",
+        k=200,
+        seed=8,
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_weighted_sample_check",
+    oracle="""
+    SELECT CAST(200 AS BIGINT) AS k,
+           true AS exact_k,
+           true AS partition_invariant,
+           true AS zero_weight_excluded,
+           true AS heavy_item_selected,
+           true AS groups_respect_quota
+    """,
+    operators=("EXT-corpus", "O1", "W2", "A2"),
+)
+def corpus_weighted_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-pinned contract of the weighted sampler (same pattern as
+    plans/checks.py):
+
+    - ``exact_k``: the global form returns exactly k = 200 rows;
+    - ``partition_invariant``: repartition(7) yields the IDENTICAL id
+      set (hash-derived uniforms, not rand() — the determinism the
+      docstring promises);
+    - ``zero_weight_excluded``: docs reweighted to 0 never appear;
+    - ``heavy_item_selected``: one doc reweighted to 1e12 is always in
+      the sample (its E-S key is smaller than any unit-weight key with
+      probability 1 - O(n/1e12) — deterministic at any shipped SF);
+    - ``groups_respect_quota``: the per-group form returns
+      min(k, group size) rows per lang stratum.
+    """
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    base = weighted_sample_without_replacement(docs, "w", k=200, seed=8)
+    ids = base.select("doc_id")
+    ids7 = weighted_sample_without_replacement(
+        docs.repartition(7), "w", k=200, seed=8
+    ).select("doc_id")
+    n = ids.count()
+    sym_diff = (
+        ids.join(ids7, "doc_id", "full_outer")
+        .filter(ids["doc_id"].isNull() | ids7["doc_id"].isNull())
+        .count()
+    )
+
+    zeroed = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 3 == 0, 0.0).otherwise(F.col("w"))
+    )
+    z = weighted_sample_without_replacement(zeroed, "w", k=50, seed=8)
+    n_zero_in = z.filter(F.col("doc_id") % 3 == 0).count()
+
+    heavy = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 7, 1e12).otherwise(F.col("w"))
+    )
+    n_heavy_in = (
+        weighted_sample_without_replacement(heavy, "w", k=10, seed=8)
+        .filter(F.col("doc_id") == 7)
+        .count()
+    )
+
+    per_group = weighted_sample_without_replacement(
+        docs, "w", k=5, seed=8, group_cols=["lang"]
+    )
+    quota_viol = (
+        per_group.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("avail")),
+            "lang",
+        )
+        .filter(F.col("n") != F.least(F.lit(5), F.col("avail")))
+        .count()
+    )
+
+    return spark.createDataFrame(
+        [
+            (
+                200,
+                n == 200,
+                sym_diff == 0,
+                n_zero_in == 0,
+                n_heavy_in == 1,
+                quota_viol == 0,
+            )
+        ],
+        "k long, exact_k boolean, partition_invariant boolean, "
+        "zero_weight_excluded boolean, heavy_item_selected boolean, "
+        "groups_respect_quota boolean",
+    )

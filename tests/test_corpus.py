@@ -142,3 +142,42 @@ def test_crawl_diff_bucketed_versions_zero_exchange(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_cur}")
         spark.sql(f"DROP TABLE IF EXISTS {t_nxt}")
+
+
+def test_weighted_sample_without_replacement_bias_and_quota(spark):
+    """E-S sampler: exact k, deterministic, and actually weight-biased
+    — across 40 disjoint seed draws of k=30 from 300 items where ids
+    200-299 carry weight 9 and the rest weight 1, the heavy tier must
+    dominate (expected share 9*100/(9*100+200) = 0.82 of draws; a
+    uniform sampler would give 1/3)."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.corpus import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 200, 9.0).otherwise(1.0).alias("w"),
+    )
+    heavy = total = 0
+    for seed in range(40):
+        got = weighted_sample_without_replacement(
+            df, "w", k=30, seed=seed
+        ).collect()
+        assert len(got) == 30
+        heavy += sum(1 for r in got if r.doc_id >= 200)
+        total += 30
+    share = heavy / total
+    # E[share] ≈ 0.74 for k=30 w/o replacement (finite-pop damping off
+    # the 0.82 single-draw odds); uniform would be 0.333. Wide margins.
+    assert 0.55 < share < 0.95, share
+
+    # per-group quota: k per lang-like stratum, never more
+    df2 = df.withColumn("g", (F.col("doc_id") % 3).cast("int"))
+    per = weighted_sample_without_replacement(
+        df2, "w", k=7, seed=1, group_cols=["g"]
+    )
+    sizes = {r.g: r.n for r in per.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {0: 7, 1: 7, 2: 7}
