@@ -176,6 +176,8 @@ def decode_framepack(data: bytes) -> tuple[list[bytes], int]:
     """
     if data[:4] != _FPK_MAGIC:
         raise ValueError("not an FPK1 framepack")
+    if len(data) < 10:
+        raise ValueError("truncated framepack header")
     n, interval_ms = struct.unpack_from(">HI", data, 4)
     pos, frames = 10, []
     for _ in range(n):

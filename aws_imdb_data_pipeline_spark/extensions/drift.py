@@ -28,9 +28,15 @@ def bin_value(col: str | Column, width: float = 10.0, max_bin: int = 10) -> Colu
 def cell_counts(
     df: DataFrame, group_col: str, bin_col: Column, cnt_name: str
 ) -> DataFrame:
-    """(group, bin, count) — the additive drift sufficient statistic."""
+    """(group, bin, count) — the additive drift sufficient statistic.
+
+    NULL measurements are dropped (a NULL carries no distribution
+    mass, and a NULL bin would also sort differently between engines:
+    Spark windows put NULLS FIRST ascending, DuckDB NULLS LAST — the
+    KS CDFs would silently diverge on any data with NULLs)."""
     return (
         df.select(group_col, bin_col.alias("bin"))
+        .filter(F.col("bin").isNotNull())
         .groupBy(group_col, "bin")
         .agg(F.count(F.lit(1)).alias(cnt_name))
     )

@@ -268,6 +268,8 @@ def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
     REALLY parsed out of the container and PNG-decoded for its stats;
     undecodable containers contribute zero rows (poison-safe), which
     is the correct semantics for an explode."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     from aws_imdb_data_pipeline_spark.extensions.codecs import (
         decode_framepack,
         decode_png,

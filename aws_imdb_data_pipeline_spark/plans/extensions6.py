@@ -168,7 +168,9 @@ def fuzzy_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_PSI_BINS = 11  # fixed-width value bins: floor(value/10) capped at 10
+from aws_imdb_data_pipeline_spark.extensions.drift import (  # noqa: E402
+    PSI_BINS as _PSI_BINS,  # single source of truth for the smoothing constant
+)
 
 
 @register(
@@ -179,6 +181,7 @@ _PSI_BINS = 11  # fixed-width value bins: floor(value/10) capped at 10
                CAST(least(floor(value / 10), 10) AS INTEGER) AS bin,
                (ts < TIMESTAMP '2024-01-16') AS in_a
         FROM events
+        WHERE value IS NOT NULL
     ),
     cells AS (
         SELECT event_type, bin,
@@ -236,7 +239,7 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         bin_value("value").alias("bin"),
         (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("in_a"),
-    )
+    ).filter(F.col("bin").isNotNull())  # same NULL policy as cell_counts
     # both windows' cells in ONE scan (the streaming plane builds the
     # same frame by delta-merging per-batch cell counts instead)
     cells = binned.groupBy("event_type", "bin").agg(
@@ -299,7 +302,9 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     def to_png(texts: pd.Series) -> pd.Series:
         def build(t: str) -> bytes:
             data = t.encode("utf-8")
-            c = data[0] if data else 0
+            # code POINT of the first char (DuckDB ascii() semantics),
+            # not the first UTF-8 byte — they differ beyond ASCII
+            c = ord(t[0]) if t else 0
             h = max(-(-len(data) // 16), 1)
             y = np.arange(h).reshape(-1, 1)
             x = np.arange(16).reshape(1, -1)
@@ -380,8 +385,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("binary")
     def to_fpk(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
         def build(did: int, t: str) -> bytes:
-            data = t.encode("utf-8")
-            c = data[0] if data else 0
+            # code POINT (DuckDB ascii() semantics); see image_resize
+            c = ord(t[0]) if t else 0
             y = np.arange(4).reshape(-1, 1)
             x = np.arange(4).reshape(1, -1)
             frames = []

@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.extensions.drift import (
-    PSI_BINS,
     bin_value,
     cell_counts,
     psi_ks_from_cells,
@@ -74,15 +73,30 @@ def stream_drift_monitor(
     value_col: str = "value",
     width: float = 10.0,
     max_bin: int = 10,
-    n_bins: int = PSI_BINS,
+    n_bins: int | None = None,
     trigger_available_now: bool = False,
 ):
     """Start the monitor. ``reference`` is the frozen reference cell
     frame (from :func:`reference_cells`); the stream's arriving events
     accumulate into live cells and every committed version carries the
-    merged cells plus the PSI/KS drift frame vs the reference."""
+    merged cells plus the PSI/KS drift frame vs the reference.
+
+    The reference cells are MATERIALIZED into ``state_dir/reference``
+    before the stream starts (once per monitor, skipped if already
+    present) — per-trigger work reads that tiny parquet back, so the
+    reference window's source is scanned exactly once per monitor
+    lifetime, never per batch. ``n_bins`` (the Laplace smoothing
+    denominator) defaults to ``max_bin + 1`` — the actual bin count —
+    so changing the binning can't silently mis-smooth; pass it only to
+    mirror an oracle that fixes a different constant."""
     spark = events_stream.sparkSession
-    ref = reference
+    if n_bins is None:
+        n_bins = max_bin + 1
+
+    ref_dir = os.path.join(state_dir, "reference")
+    if not os.path.exists(os.path.join(ref_dir, "_SUCCESS")):
+        reference.coalesce(1).write.mode("overwrite").parquet(ref_dir)
+    ref = spark.read.parquet(ref_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = _read_marker(state_dir)

@@ -118,19 +118,51 @@ def test_qgram_edit_join_rarity_order_is_still_lossless(spark):
     assert got_pairs == want
 
 
-def test_fuzzy_name_groups_partition_count_invariance(spark, sf_dir):
-    """The rollup's n_parts must sum to the fact rows of merged names
-    regardless of input partitioning (CC label determinism)."""
+def test_fuzzy_name_groups_matches_python_model(spark, sf_dir):
+    """The full entity-resolution composite vs an independent Python
+    model: ED<=1 pairs by nested loop, connected components by
+    union-find, canonical = min name, rollup counts from the raw part
+    rows. Catches blocking losses, CC label bugs, and dropped fact
+    rows — not just the query's own invariants."""
+    from collections import Counter
+
     from aws_imdb_data_pipeline_spark.plans.extensions6 import (
         fuzzy_name_groups,
     )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
-    out = fuzzy_name_groups(spark, sf_dir).collect()
-    assert all(r["n_names"] > 1 for r in out)
-    # canonical is the MIN name of its group → never larger than any
-    # member; the group keys are unique
-    names = [r["canonical"] for r in out]
-    assert len(names) == len(set(names))
+    parts = [
+        r["p_name"]
+        for r in load_table(spark, sf_dir, "part").select("p_name").collect()
+    ]
+    names = sorted(set(parts))
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if _lev(a, b) <= 1:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    canon = {n: min(m for m in names if find(m) == find(n)) for n in names}
+    fact_counts = Counter(parts)
+    want = {}
+    for c in set(canon.values()):
+        members = [n for n in names if canon[n] == c]
+        if len(members) > 1:
+            want[c] = (len(members), sum(fact_counts[m] for m in members))
+
+    got = {
+        r["canonical"]: (r["n_names"], r["n_parts"])
+        for r in fuzzy_name_groups(spark, sf_dir).collect()
+    }
+    assert got == want
 
 
 def test_events_drift_psi_bounds(spark, sf_dir):
@@ -144,3 +176,21 @@ def test_events_drift_psi_bounds(spark, sf_dir):
         assert r["psi"] >= 0.0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
         assert 0.0 <= r["ks_stat"] <= 1.0
         assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_qgram_edit_join_output_names_never_collide(spark):
+    """Mixed naming: left id==str ('p_name') against a right side with
+    distinct id/str — and a right str that collides with the left id —
+    must yield unique, predictable output columns."""
+    left = spark.createDataFrame([("red widget",)], "p_name string")
+    right = spark.createDataFrame(
+        [(1, "red widgets")], "rid int, p_name string"
+    )
+    got = qgram_edit_join(
+        left, right, left_id="p_name", left_str="p_name",
+        right_id="rid", right_str="p_name", max_dist=1, q=2,
+    )
+    assert got.columns == ["p_name_l", "rid", "p_name_r", "dist"]
+    assert len(got.columns) == len(set(got.columns))
+    row = got.collect()[0]
+    assert (row["p_name_l"], row["rid"], row["dist"]) == ("red widget", 1, 1)

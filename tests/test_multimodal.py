@@ -260,3 +260,27 @@ def test_synthetic_media_video_frames_real(spark):
     assert all(r.width == 8 and r.height == 6 for r in frames)
     poison = {r.media_id for r in media.collect()} - decodable
     assert poison == {m for m in poison if m % 6 == 5}
+
+
+def test_framepack_short_payload_and_every_n_validation(spark):
+    import pytest as _pt
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_framepack,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    # 4-9 byte payload starting with the magic: ValueError, not
+    # struct.error (callers catch ValueError per the contract)
+    with _pt.raises(ValueError):
+        decode_framepack(b"FPK1\x00\x01")
+    media = spark.createDataFrame(
+        [(0, "video", b"FPK1\x00", "video/x-framepack", None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    with _pt.raises(ValueError):
+        sample_frames(media, 0)
+    assert sample_frames(media, 2).count() == 0  # poison-safe explode
