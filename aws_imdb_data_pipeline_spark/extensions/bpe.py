@@ -218,3 +218,34 @@ def _train_local(
         "word string, cnt long, symbols array<string>",
     )
     return merges, final
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode text with a learned merge list: per word, apply every
+    merge in training order. The whole encoder is ONE chained column
+    expression — ``transform(words, w -> fold_1(fold_2(...chars(w))))``
+    composes all merges into a single whole-stage-codegen projection,
+    so encoding is a zero-shuffle map regardless of merge count.
+    Output: ``out_col`` = array of BPE tokens over all words (word
+    boundaries never merge, matching the trainer)."""
+    rules = [
+        (m[1], m[2]) if len(m) == 4 else (m[0], m[1]) for m in merges
+    ]
+
+    def encode_word(w: Column) -> Column:
+        syms = F.split(w, "")
+        for left, right in rules:
+            syms = _apply_merge(syms, left, right)
+        return syms
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    return df.withColumn(
+        out_col, F.flatten(F.transform(words, encode_word))
+    )

@@ -651,3 +651,99 @@ def bpe_train_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deterministic boolean, partition_invariant boolean, "
         "merges_shrink_vocab boolean",
     )
+
+
+@register(
+    "bpe_encode_check",
+    oracle=r"""
+    WITH w AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> '')) AS word
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS sum_chars,
+           true AS tokens_within_bounds,
+           true AS segmentation_lossless,
+           true AS encode_matches_training
+    FROM w
+    """,
+    operators=("EXT-bpe", "F1", "A1"),
+)
+def bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract of the BPE ENCODER (extensions/bpe.py::apply_bpe — all
+    learned merges composed into one zero-shuffle codegen projection):
+
+    - ``n_words`` / ``sum_chars``: oracle-computed corpus totals the
+      engine must reproduce from its own tokenization;
+    - ``tokens_within_bounds``: n_words <= total BPE tokens <=
+      sum_chars (every merge strictly shrinks a word's token count;
+      no word vanishes);
+    - ``segmentation_lossless``: per document, concatenating the BPE
+      tokens reproduces the concatenation of the lowercased words —
+      encoding never drops or invents characters;
+    - ``encode_matches_training``: encoding the corpus's DISTINCT
+      WORDS with the learned merges reproduces the trainer's final
+      vocabulary state symbol-for-symbol (apply ≡ replay of training,
+      the property that makes the tokenizer usable on NEW text)."""
+    from aws_imdb_data_pipeline_spark.extensions.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_vocabulary,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import (
+        token_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = token_stats(spark, sf_dir).dfl().select("lword", "cf")
+    merges, final_vocab = train_bpe(
+        None, n_merges=8, min_count=2, word_counts=wc
+    )
+
+    enc = apply_bpe(docs, merges)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    stats = enc.select(
+        F.size(words).alias("nw"),
+        F.size("bpe_tokens").alias("nt"),
+        F.length(F.concat_ws("", words)).alias("nc"),
+        (
+            F.concat_ws("", F.col("bpe_tokens"))
+            == F.concat_ws("", words)
+        ).alias("lossless"),
+    ).agg(
+        F.sum("nw").alias("n_words"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum("nc").alias("sum_chars"),
+        F.min("lossless").alias("all_lossless"),
+    ).collect()[0]
+
+    # encode(distinct words) must equal the trainer's final state
+    dw = word_vocabulary(docs).select("word")
+    enc_words = apply_bpe(dw, merges, text_col="word", out_col="toks")
+    mism = (
+        enc_words.join(final_vocab, "word")
+        .filter(F.col("toks") != F.col("symbols"))
+        .count()
+    )
+
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_words"],
+                stats["sum_chars"],
+                bool(
+                    stats["n_words"]
+                    <= stats["n_tokens"]
+                    <= stats["sum_chars"]
+                ),
+                bool(stats["all_lossless"]),
+                mism == 0,
+            )
+        ],
+        "n_words long, sum_chars long, tokens_within_bounds boolean, "
+        "segmentation_lossless boolean, encode_matches_training boolean",
+    )

@@ -109,3 +109,35 @@ def test_bpe_local_and_distributed_paths_identical(spark):
     assert sorted((r.word, list(r.symbols)) for r in vl.collect()) == sorted(
         (r.word, list(r.symbols)) for r in vd.collect()
     )
+
+
+def test_apply_bpe_matches_model_encoding(spark):
+    """apply_bpe (all merges as one chained codegen projection) must
+    reproduce the model's sequential per-word merge application."""
+    from aws_imdb_data_pipeline_spark.extensions.bpe import apply_bpe
+
+    texts = ["low lower lowest low low newer new", "aaaa aaa ab ab wider"]
+    merges, _ = _model(texts, 6, min_count=1)
+
+    def encode(w):
+        syms = [*w]
+        for _, left, right, _ in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        list(r.bpe_tokens)
+        for r in apply_bpe(docs, merges).orderBy("text").collect()
+    ]
+    want = [
+        [t for w in txt.lower().split() for t in encode(w)]
+        for txt in sorted(texts)
+    ]
+    assert got == want
