@@ -35,7 +35,8 @@ from aws_imdb_data_pipeline_spark.operators.fuzzyjoin import (  # noqa: E402
 )
 from aws_imdb_data_pipeline_spark.session import get_spark  # noqa: E402
 
-K, Q = 1, 2
+K = int(os.environ.get("FUZZY_PROBE_K", "1"))
+Q = int(os.environ.get("FUZZY_PROBE_Q", "2"))
 
 ADJ = ["red", "blue", "green", "cold", "warm", "old", "new", "big",
        "small", "fine", "flat", "long", "dark", "pale", "deep", "soft"]
@@ -120,8 +121,8 @@ def main() -> None:
             d.select(
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, greatest(length(s) - 1, 1)),"
-                        " i -> substring(s, i, 2))"
+                        f"transform(sequence(1, greatest(length(s) - {Q - 1}, 1)),"
+                        f" i -> substring(s, i, {Q}))"
                     )
                 ).alias("gram")
             )
