@@ -154,7 +154,13 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 first-round BPE merge candidates (most frequent adjacent
     character pairs weighted by word frequency). Words aggregate before
     the bigram explode, so the explode input is the distinct-word set,
-    not the corpus (extensions/textstats.py bpe_merge_candidates)."""
+    not the corpus (extensions/textstats.py bpe_merge_candidates).
+    The full ITERATIVE trainer — this round-1 ranking re-run after
+    each applied merge — is extensions/bpe.py::train_bpe
+    (bpe_train_merges / bpe_train_check / bpe_encode_check, round 8);
+    note its tokenizer splits on whitespace while this profile uses
+    [a-z]+ extraction, so the two round-1 rankings agree only on
+    purely alphabetic corpora."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return bpe_merge_candidates(docs, text_col="text", k=20)
 
