@@ -600,13 +600,13 @@ def bpe_train_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the word vocabulary with the (count DESC, left, right)
     tie-break — and must hash-equal the engine's; plus booleans:
 
-    - ``deterministic`` / ``partition_invariant``: training from the
-      persisted token-stats vocabulary and training straight from the
-      repartition(13)'d RAW corpus (fresh tokenize, no artifact) emit
-      the identical 8-merge sequence — pair counts are
-      partitioning-free aggregates, the argmax tie-break has no hash
-      dependence, and the artifact's vocabulary is exactly the
-      corpus's;
+    - ``deterministic``: a fresh same-input rerun of the trainer (new
+      dfl frame, new merge loop) emits the identical 8-merge sequence;
+    - ``partition_invariant``: training straight from the
+      repartition(13)'d RAW corpus (fresh tokenize, no artifact) also
+      emits the identical sequence — pair counts are partitioning-free
+      aggregates, the argmax tie-break has no hash dependence, and the
+      artifact's vocabulary is exactly the corpus's;
     - ``merges_shrink_vocab``: total symbol count strictly decreases
       after applying the merges (each merge round collapses at least
       one adjacent pair somewhere)."""
@@ -624,7 +624,10 @@ def bpe_train_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3, _ = train_bpe(
         docs.repartition(13), n_merges=8, min_count=2, vocab_partitions=1
     )
-    m2 = m1  # a same-input rerun is subsumed by the raw-corpus run
+    # genuine same-input RERUN (fresh dfl frame, fresh merge loop) —
+    # not an alias of m1, so `deterministic` can actually fail
+    wc2 = token_stats(spark, sf_dir).dfl().select("lword", "cf")
+    m2, _ = train_bpe(None, n_merges=8, min_count=2, word_counts=wc2)
 
     from aws_imdb_data_pipeline_spark.extensions.bpe import (
         word_vocabulary,

@@ -38,7 +38,9 @@ from aws_imdb_data_pipeline_spark.extensions.drift import (
     psi_ks_from_cells,
 )
 from aws_imdb_data_pipeline_spark.streaming.ivmserve import (
+    _gc_versions,
     _read_marker,
+    _replay_guard,
     _write_marker,
 )
 
@@ -100,7 +102,7 @@ def stream_drift_monitor(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = _read_marker(state_dir)
-        if marker is not None and marker["batch_id"] >= batch_id:
+        if _replay_guard(marker, batch_id, checkpoint_dir):
             return  # replay of an already-committed batch
 
         delta = cell_counts(
@@ -123,15 +125,35 @@ def stream_drift_monitor(
             os.path.join(vdir, "cells")
         )
         committed_live = spark.read.parquet(os.path.join(vdir, "cells"))
-        merged = (
-            ref.join(committed_live, [group_col, "bin"], "full_outer")
-            .fillna({"cnt_a": 0, "cnt_b": 0})
+        # NULL-SAFE merge on the group key: a NULL group is a
+        # legitimate groupBy group in the cell frames (bins are
+        # non-null by cell_counts' filter), and a null-unsafe
+        # USING-join would split it into two half-rows instead of
+        # pairing reference against live.
+        r, l = ref.alias("__ref"), committed_live.alias("__live")
+        gr, gl = F.col(f"__ref.{group_col}"), F.col(f"__live.{group_col}")
+        merged = r.join(
+            l,
+            gr.eqNullSafe(gl)
+            & F.col("__ref.bin").eqNullSafe(F.col("__live.bin")),
+            "full_outer",
+        ).select(
+            F.coalesce(gr, gl).alias(group_col),
+            F.coalesce(F.col("__ref.bin"), F.col("__live.bin")).alias("bin"),
+            F.coalesce(F.col("__ref.cnt_a"), F.lit(0)).alias("cnt_a"),
+            F.coalesce(F.col("__live.cnt_b"), F.lit(0)).alias("cnt_b"),
         )
         drift = psi_ks_from_cells(merged, group_col, n_bins=n_bins)
         drift.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(vdir, "drift")
         )
-        _write_marker(state_dir, {"batch_id": batch_id})
+        _write_marker(
+            state_dir, {"batch_id": batch_id, "checkpoint": checkpoint_dir}
+        )
+        # GC: keep current + previous version — same retention as
+        # ivmserve; without it state_dir grows one dir per batch forever
+        if marker is not None and marker["batch_id"] >= 1:
+            _gc_versions(state_dir, marker["batch_id"])
 
     writer = events_stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

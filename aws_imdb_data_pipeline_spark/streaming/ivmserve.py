@@ -53,6 +53,46 @@ def _write_marker(state_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(state_dir, "_latest.json"))
 
 
+def _replay_guard(marker: dict | None, batch_id: int, checkpoint_dir: str) -> bool:
+    """True iff ``batch_id`` is a genuine at-least-once REPLAY of an
+    already-committed batch and must be skipped. foreachBatch batch ids
+    are monotone per CHECKPOINT, so a marker at-or-past the incoming id
+    is only a replay when the checkpoint identity matches; a fresh
+    checkpoint restarts ids at 0, and silently skipping there would
+    drop every batch against the surviving state_dir. That mismatch is
+    an operator error (two different streams claiming one state dir) —
+    raise, don't drop data. Markers written before the identity field
+    existed keep the legacy skip-on-regression behavior."""
+    if marker is None or marker["batch_id"] < batch_id:
+        return False
+    committed_ckpt = marker.get("checkpoint")
+    if committed_ckpt is not None and committed_ckpt != checkpoint_dir:
+        raise RuntimeError(
+            f"state dir was committed by a different stream "
+            f"(checkpoint {committed_ckpt!r}, this stream "
+            f"{checkpoint_dir!r}, marker batch {marker['batch_id']} >= "
+            f"incoming batch {batch_id}): refusing to silently drop "
+            f"batches — point the stream at a fresh state_dir or reuse "
+            f"the original checkpoint"
+        )
+    return True
+
+
+def _gc_versions(state_dir: str, keep_from: int) -> None:
+    """Drop every ``v=<n>`` dir with n < keep_from — the keep-current-
+    plus-previous retention both versioned sinks share (previous covers
+    readers mid-scan of the just-superseded version)."""
+    import shutil
+
+    for old in os.listdir(state_dir):
+        if old.startswith("v="):
+            v = int(old.split("=", 1)[1])
+            if v < keep_from:
+                shutil.rmtree(
+                    os.path.join(state_dir, old), ignore_errors=True
+                )
+
+
 def current_view(spark, state_dir: str) -> DataFrame:
     """The committed view as of the latest published version."""
     marker = _read_marker(state_dir)
@@ -92,9 +132,10 @@ def stream_ivm_grouped_agg(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         marker = _read_marker(state_dir)
-        if marker is not None and marker["batch_id"] >= batch_id:
+        if _replay_guard(marker, batch_id, checkpoint_dir):
             return  # replayed batch already committed — skip
         vdir = os.path.join(state_dir, f"v={batch_id}")
+        pins: list[DataFrame] = []
         if marker is None:
             new_state = latest_state(
                 batch_df, keys, seq_cols, op_col=op_col, delete_op=delete_op
@@ -106,7 +147,7 @@ def stream_ivm_grouped_agg(
             base = spark.read.parquet(os.path.join(prev, "view"))
             deltas = state_transition_deltas(
                 snapshot, batch_df, keys, seq_cols,
-                op_col=op_col, delete_op=delete_op,
+                op_col=op_col, delete_op=delete_op, pin_registry=pins,
             )
             view = maintain_grouped_agg(base, deltas, group_cols, val_col)
             new_state = apply_changelog(
@@ -117,19 +158,16 @@ def stream_ivm_grouped_agg(
             os.path.join(vdir, "snapshot")
         )
         view.write.mode("overwrite").parquet(os.path.join(vdir, "view"))
-        _write_marker(state_dir, {"batch_id": batch_id})
-        # GC: keep current + previous version (previous covers readers
-        # mid-scan of the just-superseded version)
+        _write_marker(
+            state_dir, {"batch_id": batch_id, "checkpoint": checkpoint_dir}
+        )
+        # the per-batch touched-key pin served its job (both writes are
+        # committed) — release it, or cached blocks accumulate forever
+        for p in pins:
+            p.unpersist()
+        # GC: keep current + previous version
         if marker is not None and marker["batch_id"] >= 1:
-            import shutil
-
-            for old in os.listdir(state_dir):
-                if old.startswith("v="):
-                    v = int(old.split("=", 1)[1])
-                    if v < marker["batch_id"]:
-                        shutil.rmtree(
-                            os.path.join(state_dir, old), ignore_errors=True
-                        )
+            _gc_versions(state_dir, marker["batch_id"])
 
     writer = changelog_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

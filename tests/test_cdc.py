@@ -329,6 +329,58 @@ def test_ivm_maintained_view_equals_recompute(spark):
     assert "c" not in got
 
 
+def test_ivm_null_group_and_null_sum_exactness(spark):
+    """The two NULL fronts the merge must get SQL-exact (round-8
+    advice): a NULL group KEY is one group (null-safe join — not two
+    half-rows), and a group whose surviving values are all NULL has
+    SUM NULL — not 0.0 — even when a retraction drains the last
+    non-null value. Oracle = from-scratch recompute."""
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import (
+        apply_changelog,
+        latest_state,
+    )
+    from aws_imdb_data_pipeline_spark.lifecycle.ivm import (
+        grouped_state_agg,
+        maintain_grouped_agg,
+        state_transition_deltas,
+    )
+
+    schema = "k int, seq int, op string, g string, x double"
+    base_log = spark.createDataFrame(
+        [
+            (1, 1, "I", None, 1.0),   # NULL group, the only non-null x
+            (2, 1, "I", None, None),
+            (3, 1, "I", "a", 5.0),    # group a's only non-null x
+            (4, 1, "I", "a", None),
+        ],
+        schema,
+    )
+    slice_log = spark.createDataFrame(
+        [
+            (1, 2, "D", None, None),   # NULL group: sum must go NULL
+            (3, 2, "U", "a", None),    # a: last non-null drained -> NULL
+            (5, 2, "I", None, 2.0),    # NULL group gains a value again
+        ],
+        schema,
+    )
+    snapshot = latest_state(base_log, ["k"], ["seq"])
+    base = grouped_state_agg(snapshot, ["g"], "x")
+    deltas = state_transition_deltas(snapshot, slice_log, ["k"], ["seq"])
+    got = {
+        r.g: (r.n_keys, r.sum_value, r.n_vals)
+        for r in maintain_grouped_agg(base, deltas, ["g"], "x").collect()
+    }
+    full = apply_changelog(snapshot, slice_log, ["k"], ["seq"])
+    want = {
+        r.g: (r.n_keys, r.sum_value, r.n_vals)
+        for r in grouped_state_agg(full, ["g"], "x").collect()
+    }
+    assert got == want
+    # pin the interesting shapes, not just merge==recompute:
+    assert got["a"] == (2, None, 0)      # all-NULL group -> SUM NULL
+    assert got[None] == (2, 2.0, 1)      # ONE merged NULL-key group
+
+
 def test_ivm_untouched_keys_emit_no_deltas(spark):
     """Delta volume ∝ slice: keys the slice never mentions produce
     zero delta rows (the snapshot is probed, never re-emitted)."""

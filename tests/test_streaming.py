@@ -740,14 +740,32 @@ def test_stream_bm25_topk_matches_batch_serve(spark, sf_dir, tmp_path):
     assert got_df.select("batch_id").distinct().count() >= 2
 
 
+def _delete_commit(ckpt: str, batch_id: int) -> None:
+    """Simulate a crash between foreachBatch's writes and the
+    checkpoint commit: remove the batch's commit record (and its
+    ChecksumFs .crc sibling — a stale crc makes the re-commit rename
+    fail as a bogus concurrent-query error) so a restart re-delivers
+    the batch under the same batch_id."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    for name in (str(batch_id), f".{batch_id}.crc"):
+        p = os.path.join(commits, name)
+        if os.path.exists(p):
+            os.remove(p)
+
+
 def test_stream_ivm_view_matches_recompute_and_skips_replay(
     spark, sf_dir, tmp_path
 ):
     """Streaming IVM (streaming/ivmserve.py): the changelog arriving
     in micro-batches maintains a grouped COUNT/SUM view whose final
     committed version equals the from-scratch aggregate of the full
-    collapsed state; a full REPLAY of the feed (fresh checkpoint, same
-    state dir) is skipped by the version marker and changes nothing."""
+    collapsed state; a genuine at-least-once REPLAY (same checkpoint,
+    crash simulated by deleting the last checkpoint commit) is skipped
+    by the version marker, while a DIFFERENT stream (fresh checkpoint,
+    batch ids restarting at 0) claiming the state dir fails loudly
+    instead of silently dropping its batches."""
     import json
     import os
     import time
@@ -813,10 +831,13 @@ def test_stream_ivm_view_matches_recompute_and_skips_replay(
     # delta-maintenance path (marker advanced past 0)
     assert marker1["batch_id"] >= 1
 
-    # replay the whole feed with a fresh checkpoint: every batch_id is
-    # <= the committed marker -> skipped, state byte-identical
+    # genuine at-least-once replay: delete the last checkpoint COMMIT
+    # (the crash-between-write-and-commit case) and restart with the
+    # SAME checkpoint — Spark re-delivers the final batch under the
+    # same batch_id; the marker skips it and state is byte-untouched
     mtime = os.stat(os.path.join(state, "_latest.json")).st_mtime_ns
-    run(str(tmp_path / "ckpt2"))
+    _delete_commit(str(tmp_path / "ckpt1"), marker1["batch_id"])
+    run(str(tmp_path / "ckpt1"))
     assert os.stat(os.path.join(state, "_latest.json")).st_mtime_ns == mtime
     got2 = {
         r.event_type: (r.n_keys, r.sum_value)
@@ -824,13 +845,22 @@ def test_stream_ivm_view_matches_recompute_and_skips_replay(
     }
     assert got2 == got
 
+    # a DIFFERENT stream (fresh checkpoint, ids restart at 0) claiming
+    # the same state dir is an operator error: refuse, don't drop data
+    import pytest
+
+    with pytest.raises(Exception, match="different stream"):
+        run(str(tmp_path / "ckpt2"))
+    assert os.stat(os.path.join(state, "_latest.json")).st_mtime_ns == mtime
+
 
 def test_stream_drift_matches_batch_and_skips_replay(spark, sf_dir, tmp_path):
     """Streaming drift monitor (streaming/drift.py): window-B events
     arriving in micro-batches against a frozen window-A reference must
     commit EXACTLY the batch query's PSI/KS frame (shared cell→psi
-    algebra, extensions/drift.py), and a full replay with a fresh
-    checkpoint is skipped by the version marker."""
+    algebra, extensions/drift.py), a genuine same-checkpoint replay is
+    skipped by the version marker, and a different stream claiming the
+    state dir fails loudly."""
     import json
     import os
 
@@ -888,8 +918,10 @@ def test_stream_drift_matches_batch_and_skips_replay(spark, sf_dir, tmp_path):
     }
     assert got == want
 
-    # replay: fresh checkpoint re-delivers every batch; marker skips all
-    run(str(tmp_path / "ckpt2"))
+    # genuine replay: same checkpoint, last commit deleted -> the final
+    # batch is re-delivered under its old batch_id and marker-skipped
+    _delete_commit(str(tmp_path / "ckpt1"), marker1["batch_id"])
+    run(str(tmp_path / "ckpt1"))
     marker2 = json.load(open(os.path.join(state, "_latest.json")))
     assert marker2 == marker1
     got2 = {
@@ -897,3 +929,9 @@ def test_stream_drift_matches_batch_and_skips_replay(spark, sf_dir, tmp_path):
         for r in current_drift(spark, state).collect()
     }
     assert got2 == want
+
+    # a different stream (fresh checkpoint) against this state dir: raise
+    import pytest
+
+    with pytest.raises(Exception, match="different stream"):
+        run(str(tmp_path / "ckpt2"))
