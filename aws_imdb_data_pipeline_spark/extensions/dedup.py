@@ -382,6 +382,62 @@ def read_band_index_meta(path: str) -> dict | None:
         return None
 
 
+def minhash_pairs_from_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Corpus-internal near-dup pairs SERVED from the persisted band
+    index (:func:`build_minhash_band_index`): candidates are a
+    self-join of the (band, bucket, id) index — the corpus is never
+    re-shingled, re-signed, or re-banded — and the exact-Jaccard
+    verify re-shingles ONLY docs that appear in candidates (semi-join
+    first). Output-identical to ``minhash_dedup_pairs(docs, <the
+    index's params>)`` by construction: identical params give
+    identical buckets (band_buckets is the shared kernel), the same
+    ``max_bucket_size`` cap is applied to the index rows, and the
+    verify is the same exact Jaccard — so the consumer trades a full
+    shingle+sign+band recompute for one parquet read per call.
+
+    ``docs`` must be the corpus the index was built from (the artifact
+    wrappers key the index path by corpus fingerprint + params)."""
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    spark = docs.sparkSession
+    meta = read_band_index_meta(index_path)
+    if meta is None:
+        raise ValueError(f"no band index at {index_path}")
+    index = spark.read.parquet(_os.path.join(index_path, "bands"))
+    bn = F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
+    bounded = index.withColumn("__bn", bn).filter(
+        (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)
+    )
+    a = bounded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = bounded.select("band", "bucket", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    touched = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingle_docs(
+        docs.join(touched, id_col, "left_semi"), id_col, text_col,
+        k=meta["k"],
+    )
+    verified = jaccard_on_shingles(pairs, sh, id_col, "__shingles")
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 def incremental_near_dup_pairs(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

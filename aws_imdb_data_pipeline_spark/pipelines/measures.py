@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_imdb_data_pipeline_spark.operators.fallback import preferential_pick
+from aws_imdb_data_pipeline_spark.operators.fallback import (
+    preferential_pick,
+    preferential_pick_predicates,
+)
 
 
 def dim_series(episode_facts: DataFrame) -> DataFrame:
@@ -66,16 +69,16 @@ def series_pilot_rating(episode_facts: DataFrame) -> DataFrame:
         "isPilot",
         "averageRating",
     )
-    rated = _rated(eps)
-    s1 = rated.filter(F.col("seasonNumber") == 1)
-    tiers = [
-        s1.filter((F.col("episodeNumber") == 1) & (F.col("isPilot") == 1)),
-        s1.filter(F.col("isPilot") == 1),
-        s1.filter(F.col("episodeNumber") == 1),
-        rated,
-    ]
-    picked = preferential_pick(
-        tiers,
+    rated = F.col("averageRating").isNotNull()
+    s1 = rated & (F.col("seasonNumber") == 1)
+    picked = preferential_pick_predicates(
+        eps,
+        preds=[
+            s1 & (F.col("episodeNumber") == 1) & (F.col("isPilot") == 1),
+            s1 & (F.col("isPilot") == 1),
+            s1 & (F.col("episodeNumber") == 1),
+            rated,
+        ],
         key_cols=["series_key"],
         order_by=[F.col("seasonNumber"), F.col("episodeNumber")],
         value_cols=["averageRating", "seasonNumber", "episodeNumber"],
@@ -111,16 +114,17 @@ def series_finale_rating(episode_facts: DataFrame) -> DataFrame:
     # season's last *rated* episode to season-final when the true last
     # episode is unrated.
     w = Window.partitionBy("series_key", "seasonNumber")
-    with_last = _rated(
-        eps.withColumn("__season_last", F.max("episodeNumber").over(w))
+    with_last = eps.withColumn(
+        "__season_last", F.max("episodeNumber").over(w)
     )
-    tiers = [
-        with_last.filter(F.col("isFinale") == 1),
-        with_last.filter(F.col("episodeNumber") == F.col("__season_last")),
+    rated = F.col("averageRating").isNotNull()
+    picked = preferential_pick_predicates(
         with_last,
-    ]
-    picked = preferential_pick(
-        tiers,
+        preds=[
+            rated & (F.col("isFinale") == 1),
+            rated & (F.col("episodeNumber") == F.col("__season_last")),
+            rated,
+        ],
         key_cols=["series_key"],
         order_by=[F.desc("seasonNumber"), F.desc("episodeNumber")],
         value_cols=["averageRating", "seasonNumber", "episodeNumber"],

@@ -174,10 +174,23 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (Unigram shingles over this corpus's tiny vocabulary degenerate —
     every doc matches every doc, a quadratic result; 3-grams are the
-    discriminative choice a real corpus needs.)"""
+    discriminative choice a real corpus needs.)
+
+    SERVED from the persisted band-index artifact (round 9): the
+    corpus is shingled/signed/banded once per corpus version by
+    ensure_band_index; this query self-joins the index for candidates
+    and re-shingles only candidate docs for the exact verify —
+    output-identical to the one-shot minhash_dedup_pairs (same
+    params, same bucket kernel; equivalence pinned in
+    tests/test_dedup.py), without the corpus recompute or the
+    shingle-table persist pin the one-shot form needs."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        minhash_pairs_from_index,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(
-        docs, id_col="doc_id", text_col="text", k=3, num_hashes=64, bands=16,
+    return minhash_pairs_from_index(
+        docs, ensure_band_index(spark, sf_dir), "doc_id", "text",
         threshold=0.6,
     ).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")

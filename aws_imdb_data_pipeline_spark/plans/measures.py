@@ -26,23 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_imdb_data_pipeline_spark.operators.fallback import preferential_pick
+from aws_imdb_data_pipeline_spark.operators.fallback import (
+    preferential_pick,
+    preferential_pick_predicates,
+)
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
 
-def _order_episodes(
-    spark: SparkSession, sf_dir: str, persist_for_fanout: bool = False
-) -> DataFrame:
+def _order_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders as an episode grain: (series_key, season, episode_number)
     with the first season precomputed — one narrow projection, one
-    window per (customer, year) partition.
-
-    ``persist_for_fanout`` caches the episode frame when the caller
-    consumes it in MULTIPLE union branches (the 4-tier pilot fallback
-    re-derives the scan+window tree per tier otherwise — the same
-    fan-out rule as pipelines.imdb's cache() placement; left to LRU
-    eviction after the query's job)."""
+    window per (customer, year) partition. Consumers pick tiers with
+    preferential_pick_predicates, so this subtree is derived ONCE per
+    query — no union fan-out, and no persist() pin left behind to
+    pollute the suite's block-manager between bench queries (the
+    round-8 per-query regression suspect)."""
     orders = load_table(spark, sf_dir, "orders")
     eps = orders.select(
         F.col("o_custkey").alias("series_key"),
@@ -56,10 +55,9 @@ def _order_episodes(
         "o_orderdate", "o_orderkey"
     )
     w_first = Window.partitionBy("series_key")
-    out = eps.withColumn("episode_number", F.row_number().over(w_ep)).withColumn(
-        "first_season", F.min("season").over(w_first)
-    )
-    return out.persist() if persist_for_fanout else out
+    return eps.withColumn(
+        "episode_number", F.row_number().over(w_ep)
+    ).withColumn("first_season", F.min("season").over(w_first))
 
 
 _EPS_CTE = """
@@ -154,23 +152,26 @@ def dim_series_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def series_pilot_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series – Pilot ★ shape (README.md:156): 4-tier preferential pick
     — first-season-first-episode 'rated' → any first-season rated →
-    first-season-first-episode → any episode → 0. One union + one
-    window shuffle (preferential_pick), keys joined back for the
-    COALESCE-to-zero tail."""
-    eps = _order_episodes(spark, sf_dir, persist_for_fanout=True)
-    first = eps.filter(F.col("season") == F.col("first_season"))
-    rated_first = first.filter(F.col("o_orderstatus") == "F")
-    tiers = [
-        rated_first.filter(F.col("episode_number") == 1),
-        rated_first,
-        first.filter(F.col("episode_number") == 1),
-        eps,
-    ]
+    first-season-first-episode → any episode → 0. Tiers are PREDICATES
+    over one episode frame (preferential_pick_predicates): a
+    first-match-wins CASE tags each row with its best tier, so the
+    whole pick is one scan + one window shuffle — no 4-way union, no
+    persist pin."""
+    eps = _order_episodes(spark, sf_dir)
+    is_first = F.col("season") == F.col("first_season")
+    is_ep1 = F.col("episode_number") == 1
+    rated = F.col("o_orderstatus") == "F"
     customer = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("series_key")
     )
-    picked = preferential_pick(
-        tiers,
+    picked = preferential_pick_predicates(
+        eps,
+        preds=[
+            is_first & is_ep1 & rated,
+            is_first & rated,
+            is_first & is_ep1,
+            F.lit(True),
+        ],
         key_cols=["series_key"],
         order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
         value_cols=["o_totalprice"],
@@ -274,12 +275,12 @@ def series_finale_delta_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide identical operands (bitwise-identical quotient, emitted
     raw)."""
     eps = _order_episodes(spark, sf_dir)
-    tiers = [eps.filter(F.col("o_orderstatus") == "F"), eps]
     customer = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("series_key")
     )
-    picked = preferential_pick(
-        tiers,
+    picked = preferential_pick_predicates(
+        eps,
+        preds=[F.col("o_orderstatus") == "F", F.lit(True)],
         key_cols=["series_key"],
         order_by=[F.desc("o_orderdate"), F.desc("o_orderkey")],
         value_cols=["o_totalprice"],

@@ -60,16 +60,42 @@ class _Range(InputPartition):
     end: int  # exclusive
 
 
-def _doc(seed: int, doc_id: int, min_words: int, max_words: int):
+def _doc(
+    seed: int,
+    doc_id: int,
+    min_words: int,
+    max_words: int,
+    vocab_size: int | None = None,
+):
     """Deterministic document for (seed, doc_id): every field derives
-    from an md5 stream, independent of partitioning or iteration order."""
+    from an md5 stream, independent of partitioning or iteration order.
+
+    ``vocab_size`` switches word generation to a SYNTHETIC ZIPFIAN
+    vocabulary of that many types ("w1".."w<V>"): each word draws a
+    log-uniform rank — P(rank=r) ∝ 1/r, the canonical natural-language
+    frequency law — from two md5 bytes. The default (None) keeps the
+    legacy 40-word uniform pool, whose degenerate selectivity is
+    exactly what the realistic-vocabulary corpus exists to escape
+    (SCALE.md §29: every query term matching ~1/31 of all postings is
+    the lexical family's worst case, not its design point)."""
+    import math
+
     h = hashlib.md5(f"{seed}:{doc_id}".encode()).digest()
     n_words = min_words + h[0] % (max_words - min_words + 1)
-    words = []
-    # cheap counter-mode stream: one md5 per 16 words
-    for block in range((n_words + 15) // 16):
-        hb = hashlib.md5(f"{seed}:{doc_id}:{block}".encode()).digest()
-        words.extend(_VOCAB[b % len(_VOCAB)] for b in hb)
+    words: list[str] = []
+    if vocab_size:
+        ln_v = math.log(vocab_size)
+        # 2 bytes of stream per word -> 8 words per md5 block
+        for block in range((n_words + 7) // 8):
+            hb = hashlib.md5(f"{seed}:{doc_id}:z{block}".encode()).digest()
+            for i in range(8):
+                u = (hb[2 * i] * 256 + hb[2 * i + 1]) / 65536.0
+                words.append(f"w{int(math.exp(u * ln_v))}")
+    else:
+        # cheap counter-mode stream: one md5 per 16 words
+        for block in range((n_words + 15) // 16):
+            hb = hashlib.md5(f"{seed}:{doc_id}:{block}".encode()).digest()
+            words.extend(_VOCAB[b % len(_VOCAB)] for b in hb)
     text = " ".join(words[:n_words])
     return (
         doc_id,
@@ -87,6 +113,8 @@ class DocGenReader(DataSourceReader):
         self.seed = int(options.get("seed", 42))
         self.min_words = int(options.get("min_words", 10))
         self.max_words = int(options.get("max_words", 99))
+        v = options.get("vocab_size")
+        self.vocab_size = int(v) if v is not None else None
         self.min_rows_per_partition = int(
             options.get("min_rows_per_partition", 1000)
         )
@@ -139,7 +167,10 @@ class DocGenReader(DataSourceReader):
 
     def read(self, partition: _Range) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
-            yield _doc(self.seed, doc_id, self.min_words, self.max_words)
+            yield _doc(
+                self.seed, doc_id, self.min_words, self.max_words,
+                self.vocab_size,
+            )
 
 
 class DocGenStreamReader(SimpleDataSourceStreamReader):

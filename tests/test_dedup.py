@@ -279,3 +279,36 @@ def test_incremental_near_dup_matches_batch_path(spark, sf_dir, tmp_path):
         if (r.id_a >= 100_000) != (r.id_b >= 100_000)
     }
     assert incr == full
+
+
+def test_minhash_pairs_from_index_equals_one_shot(spark, sf_dir, tmp_path):
+    """The artifact-served corpus-internal pair path must emit
+    EXACTLY the one-shot pipeline's pairs at the same params — same
+    bucket kernel persisted vs recomputed, same bucket-size cap, same
+    exact-Jaccard verify — including identical jaccard values."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        build_minhash_band_index,
+        minhash_dedup_pairs,
+        minhash_pairs_from_index,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "bands")
+    build_minhash_band_index(docs, "doc_id", "text", path, k=3,
+                             num_hashes=64, bands=16)
+    served = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash_pairs_from_index(
+            docs, path, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    one_shot = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=64, bands=16,
+            threshold=0.6,
+        ).collect()
+    }
+    assert served == one_shot
+    assert len(served) > 0  # the fixture corpus has planted near-dups

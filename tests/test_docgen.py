@@ -104,3 +104,31 @@ def test_docgen_stream_equals_batch(spark, tmp_path):
         F.expr("bit_xor(xxhash64(doc_id, text, lang, source))").alias("h")
     ).first()["h"]
     assert h(got) == h(batch)
+
+
+def test_docgen_zipf_vocab_deterministic_and_heavy_tailed(spark):
+    """The ``vocab_size`` option: (a) same (seed, doc_id) -> same text
+    regardless of partition count; (b) the realized vocabulary is a
+    heavy-tailed Zipfian — thousands of types, a stopword-dense head
+    (max df near n_docs) and a rare median type — the selectivity
+    regime the lexical bench needs (SCALE.md §29)."""
+    from pyspark.sql import functions as F
+
+    opts = dict(n_docs=2000, vocab_size=5000, seed=11, min_words=40,
+                max_words=80)
+    a = _gen(spark, **opts, n_partitions=4)
+    b = _gen(spark, **opts, n_partitions=13)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    words = a.select(
+        F.explode(F.split("text", r"\s+")).alias("w"), "doc_id"
+    )
+    df = words.distinct().groupBy("w").count()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("types"),
+        F.max("count").alias("maxdf"),
+        F.expr("percentile_approx(count, 0.5)").alias("meddf"),
+    ).collect()[0]
+    assert stats.types >= 2500            # thousands of realized types
+    assert stats.maxdf >= 1500            # head terms are stopword-like
+    assert stats.meddf <= 2000 * 0.05     # median type is rare

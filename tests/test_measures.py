@@ -45,6 +45,51 @@ def test_preferential_pick_tiers_and_default(spark):
     assert out == {"a": 10.0, "b": 30.0, "c": 0.0}
 
 
+def test_preferential_pick_predicates_equals_union_form(spark):
+    """The predicate form must pick IDENTICALLY to the union form on
+    same-frame tiers — including rows qualifying for MULTIPLE tiers
+    (the union carries them once per tier; the CASE tags each once
+    with its min tier) and keys matched by no tier (defaulted)."""
+    from aws_imdb_data_pipeline_spark.operators.fallback import (
+        preferential_pick_predicates,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            # key a: row 1 satisfies BOTH tiers (appears twice in the
+            # union), row 2 only tier 2 but with a better order value
+            ("a", 1, 1, 10.0),
+            ("a", 0, 1, 5.0),
+            ("b", 0, 1, 30.0),
+            ("c", 0, 0, 40.0),  # satisfies no tier -> excluded
+        ],
+        ["k", "t1", "t2", "v"],
+    )
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    kw = dict(
+        key_cols=["k"],
+        order_by=[F.col("v")],
+        value_cols=["v"],
+        keys=keys,
+        defaults={"v": 0.0},
+    )
+    union_out = {
+        r.k: r.v
+        for r in preferential_pick(
+            [rows.filter("t1 = 1"), rows.filter("t2 = 1")], **kw
+        ).collect()
+    }
+    pred_out = {
+        r.k: r.v
+        for r in preferential_pick_predicates(
+            rows, preds=[F.col("t1") == 1, F.col("t2") == 1], **kw
+        ).collect()
+    }
+    assert pred_out == union_out
+    # a: its only tier-1 row (v=10) beats the lower-ordered tier-2 row
+    assert pred_out == {"a": 10.0, "b": 30.0, "c": 0.0}
+
+
 def test_dim_series(episodes):
     dims = {r.series_key: r for r in dim_series(episodes).collect()}
     assert set(dims) == {"tt0000100", "tt0000200"}
