@@ -413,6 +413,65 @@ def unigram_lm_scores(
     )
 
 
+def dsir_log_weights(
+    df: DataFrame,
+    target_flag,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): per
+    document, log w(x) = Σ_tokens [ln p_target(t) − ln p_raw(t)] for
+    Laplace-smoothed unigram models — p(t) = (c(t)+1)/(N+V) with V the
+    UNION vocabulary — fit on the rows matching ``target_flag``
+    (target) and on the whole frame (raw). Feed the (exponentiated)
+    weights to weighted_sample_without_replacement for the full DSIR
+    select-toward-a-target-domain pipeline; the two compose into
+    exactly the paper's recipe with both halves oracled.
+
+    Plan shape (JVM-only, two shuffles — the unigram_lm_scores twin):
+    one tokenize → (doc, word) tf carrying the doc's target flag →
+    per-word (c_target, c_raw) aggregate → scoring join + per-doc sum.
+    Both models come from ONE pass (the target counts are a
+    conditional sum inside the raw aggregate), so adding the second
+    distribution costs no extra scan. Laplace smoothing over the union
+    vocabulary makes every log finite — a target-OOV token contributes
+    a large negative term rather than -inf, the paper's behavior.
+
+    Float policy: per-doc Σ tf·(ln a − ln b) ROUNDED at 4 (libm logs
+    differ at the last ulp across engines; the smoothed ratios are
+    exact-integer divisions, identical operands both sides)."""
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), target_flag.alias("__tgt")
+    )
+    words = flagged.select(
+        F.col(id_col), "__tgt", F.explode(_words(text_col)).alias("__w")
+    ).filter(F.col("__w") != "")
+    tf = words.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__tgt").alias("__tgt")
+    )
+    stats = tf.groupBy("__w").agg(
+        F.sum("__tf").alias("__cq"),
+        F.sum(F.when(F.col("__tgt"), F.col("__tf")).otherwise(0)).alias(
+            "__ct"
+        ),
+    )
+    tot = stats.agg(
+        F.sum("__cq").alias("__nq"),
+        F.sum("__ct").alias("__nt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    joined = tf.join(stats, "__w").crossJoin(F.broadcast(tot))
+    term = F.col("__tf") * (
+        F.log((F.col("__ct") + F.lit(1.0)) / (F.col("__nt") + F.col("__v")))
+        - F.log((F.col("__cq") + F.lit(1.0)) / (F.col("__nq") + F.col("__v")))
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("__tf").cast("bigint").alias("n_words"),
+        F.round(F.sum(term), 4).alias("log_weight"),
+    )
+
+
 def _lm_score_tf(joined: DataFrame, id_col: str) -> DataFrame:
     """Per-doc LM aggregate over a (id, __tf, __c, __n) frame: the
     tf-WEIGHTED form Σ_t tf·ln(c_t/N) — algebraically the per-

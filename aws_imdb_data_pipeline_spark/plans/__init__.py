@@ -32,6 +32,7 @@ from aws_imdb_data_pipeline_spark.plans import extensions5  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import extensions6  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import checks  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import lexbench  # noqa: E402,F401
+from aws_imdb_data_pipeline_spark.plans import extensions7  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import partsupp  # noqa: E402,F401
 from aws_imdb_data_pipeline_spark.plans import cdc  # noqa: E402,F401
 

@@ -1,0 +1,138 @@
+"""Seventh extensions batch (round 9): the two data-quality operators
+above the heuristic rung — DSIR importance reweighting toward a target
+domain (fully SQL-oracled) and a trained hashed-BoW quality classifier
+(MLlib; driver-verified via a pinned-boolean planted-task check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, (d.source = 'src0') AS tgt, w AS word
+        FROM documents d,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+        WHERE w <> ''
+    ),
+    tf AS (
+        SELECT doc_id, word, ANY_VALUE(tgt) AS tgt, COUNT(*) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    stats AS (
+        SELECT word, SUM(tf) AS cq,
+               SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS ct
+        FROM tf GROUP BY word
+    ),
+    tot AS (SELECT SUM(cq) AS nq, SUM(ct) AS nt, COUNT(*) AS v FROM stats)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           ROUND(SUM(tf * (LN((ct + 1.0) / (nt + v))
+                           - LN((cq + 1.0) / (nq + v)))), 4) AS log_weight
+    FROM tf JOIN stats USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    operators=("EXT-text", "EXT-corpus", "A1", "J1"),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights toward the 'src0' target domain
+    (extensions.textstats.dsir_log_weights): per document,
+    Σ tf·[ln p_src0(t) − ln p_corpus(t)] under Laplace-smoothed unigram
+    models fit in ONE tokenize pass. The oracle recomputes the full
+    algebra in SQL, so the driver hash-match pins both models and the
+    smoothing exactly. Compose with
+    weighted_sample_without_replacement (its contract pinned by
+    corpus_weighted_sample_check) for the paper's full
+    select-toward-target recipe — both halves independently oracled."""
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        dsir_log_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, F.col("source") == "src0")
+
+
+@register(
+    "quality_classifier_check",
+    oracle="""
+    SELECT CAST(2 * (SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0)
+               AS BIGINT) AS n_train,
+           CAST(2 * (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0)
+               AS BIGINT) AS n_holdout,
+           true AS holdout_accuracy_ge_floor,
+           true AS classes_separated
+    """,
+    operators=("EXT-text", "EXT-qualityml", "A6"),
+)
+def quality_classifier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-pinned contract of the trained quality classifier
+    (extensions.qualityml — model scores are float-order-dependent, so
+    the model itself is never hash-pinned; its CONTRACT is):
+
+    a planted separable task — positives are the corpus documents,
+    negatives the same documents with vowels digit-mangled (disjoint
+    token identities, the signal a hashed-BoW model must find) — is
+    trained on the doc_id % 5 != 0 slice and evaluated on the held-out
+    % 5 == 0 slice it never saw:
+
+    - ``n_train`` / ``n_holdout``: exact, engine-independent (2x the
+      slice counts — one clean + one corrupted row per doc);
+    - ``holdout_accuracy_ge_floor``: >= 95% of held-out rows get the
+      right class (measured 1.0 at sf0.001/0.01/0.1 — the task is
+      separable by construction; 0.95 is the damage floor for an
+      optimizer/feature-pipeline break);
+    - ``classes_separated``: mean P(quality) of held-out clean rows
+      exceeds mean P(quality) of held-out corrupted rows by >= 0.2
+      (prediction could in principle pass on a degenerate calibrated
+      boundary; the probability gap cannot)."""
+    from aws_imdb_data_pipeline_spark.extensions.qualityml import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    OFF = 1_000_000
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupt = F.translate(F.col("text"), "aeiou", "01234")
+    labeled = docs.select(
+        "doc_id", "text", F.lit(1.0).alias("label")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + OFF).alias("doc_id"),
+            corrupt.alias("text"),
+            F.lit(0.0).alias("label"),
+        )
+    )
+    is_holdout = (F.col("doc_id") % 5 == 0) | ((F.col("doc_id") - OFF) % 5 == 0)
+    train, hold = labeled.filter(~is_holdout), labeled.filter(is_holdout)
+    model = train_quality_classifier(train)
+    scored = score_quality(model, hold)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("__nh"),
+        F.sum(
+            F.when(F.col("quality_pred") == F.col("label"), 1).otherwise(0)
+        ).alias("__correct"),
+        F.avg(F.when(F.col("label") == 1.0, F.col("quality_prob"))).alias(
+            "__pclean"
+        ),
+        F.avg(F.when(F.col("label") == 0.0, F.col("quality_prob"))).alias(
+            "__pcorrupt"
+        ),
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return n_train.crossJoin(F.broadcast(agg)).select(
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("__nh").cast("bigint").alias("n_holdout"),
+        (F.col("__correct") >= 0.95 * F.col("__nh")).alias(
+            "holdout_accuracy_ge_floor"
+        ),
+        (F.col("__pclean") - F.col("__pcorrupt") >= 0.2).alias(
+            "classes_separated"
+        ),
+    )
