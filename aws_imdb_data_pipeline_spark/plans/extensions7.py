@@ -60,6 +60,83 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_dsir_weights_artifact",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, (d.source = 'src0') AS tgt, lower(w) AS word
+        FROM documents d,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+        WHERE w <> ''
+    ),
+    tf AS (
+        SELECT doc_id, word, ANY_VALUE(tgt) AS tgt, COUNT(*) AS tf
+        FROM words GROUP BY doc_id, word
+    ),
+    stats AS (
+        SELECT word, SUM(tf) AS cq,
+               SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS ct
+        FROM tf GROUP BY word
+    ),
+    tot AS (SELECT SUM(cq) AS nq, SUM(ct) AS nt, COUNT(*) AS v FROM stats)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           ROUND(SUM(tf * (LN((ct + 1.0) / (nt + v))
+                           - LN((cq + 1.0) / (nq + v)))), 4) AS log_weight
+    FROM tf JOIN stats USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    operators=("EXT-text", "EXT-corpus", "EXT-tokenstats", "A1", "J1"),
+)
+def corpus_dsir_weights_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of DSIR reweighting: both unigram models come
+    from the PERSISTED token-stats artifact — the raw model is the dfl
+    vocabulary frame (word → corpus frequency, total = the exact
+    marker integer), the target model one conditional aggregate over
+    the persisted per-(doc, word) tf frame (semi-join on the target
+    ids) — so reweighting toward a new target domain never tokenizes
+    the corpus again; it is a vocabulary-sized join over parquet.
+    Model semantics = the lowercased-token twin of corpus_dsir_weights
+    (the artifact's tfl/dfl frames are lword-keyed); the oracle
+    recomputes that algebra from raw text, so the hash match pins the
+    artifact frames against a from-scratch fit."""
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import (
+        token_stats,
+    )
+
+    ts = token_stats(spark, sf_dir)
+    tfl = ts.tfl().select("doc_id", "lword", "tf")
+    target_ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select("doc_id")
+    )
+    ct = (
+        tfl.join(F.broadcast(target_ids), "doc_id", "left_semi")
+        .groupBy("lword")
+        .agg(F.sum("tf").alias("__ct"))
+    )
+    stats = (
+        ts.dfl()
+        .select("lword", F.col("cf").alias("__cq"))
+        .join(ct, "lword", "left")
+        .fillna({"__ct": 0})
+    )
+    tot = stats.agg(
+        F.sum("__ct").alias("__nt"), F.count(F.lit(1)).alias("__v")
+    )
+    joined = tfl.join(stats, "lword").crossJoin(F.broadcast(tot))
+    nq = F.lit(int(ts.sum_dl))
+    term = F.col("tf") * (
+        F.log((F.col("__ct") + F.lit(1.0)) / (F.col("__nt") + F.col("__v")))
+        - F.log((F.col("__cq") + F.lit(1.0)) / (nq + F.col("__v")))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_words"),
+        F.round(F.sum(term), 4).alias("log_weight"),
+    )
+
+
+@register(
     "quality_classifier_check",
     oracle="""
     SELECT CAST(2 * (SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0)
