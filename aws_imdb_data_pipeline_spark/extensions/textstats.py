@@ -413,6 +413,83 @@ def unigram_lm_scores(
     )
 
 
+def _dsir_word_stats(
+    df: DataFrame, target_flag, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """One tokenize pass → (per-(doc, word) tf frame, per-word
+    (__ct, __cq) model-count frame) — the shared front half of
+    in-corpus weighting and frozen-model serving."""
+    flagged = df.select(
+        F.col(id_col), F.col(text_col), target_flag.alias("__tgt")
+    )
+    words = flagged.select(
+        F.col(id_col), "__tgt", F.explode(_words(text_col)).alias("__w")
+    ).filter(F.col("__w") != "")
+    tf = words.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__tgt").alias("__tgt")
+    )
+    stats = tf.groupBy("__w").agg(
+        F.sum("__tf").alias("__cq"),
+        F.sum(F.when(F.col("__tgt"), F.col("__tf")).otherwise(0)).alias(
+            "__ct"
+        ),
+    )
+    return tf, stats
+
+
+def dsir_model_frames(
+    df: DataFrame,
+    target_flag,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, int, int, int]:
+    """FREEZE the DSIR models for serving: the per-word (__ct, __cq)
+    count frame plus exact integer scalars (n_target_tokens,
+    n_raw_tokens, vocab_size) — one corpus pass, one 3-int collect
+    (the bounded-scalar class of driver traffic). Score arriving
+    documents against the frozen version with :func:`dsir_score_batch`
+    — new docs never join the model, which is the correct serving
+    semantics (a corpus-version bump refits)."""
+    _, stats = _dsir_word_stats(df, target_flag, id_col, text_col)
+    row = stats.agg(
+        F.sum("__ct").alias("nt"),
+        F.sum("__cq").alias("nq"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    return stats, int(row["nt"]), int(row["nq"]), int(row["v"])
+
+
+def dsir_score_batch(
+    batch: DataFrame,
+    stats: DataFrame,
+    nt: int,
+    nq: int,
+    v: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Log importance weight of NEW documents under a FROZEN model
+    (from :func:`dsir_model_frames`): batch-side tokenize only, left
+    join onto the model counts — an out-of-vocabulary token scores
+    ln((0+1)/(nt+v)) − ln((0+1)/(nq+v)), the same Laplace smoothing,
+    finite by construction. Per-trigger cost ∝ batch, never corpus."""
+    words = batch.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("__w")
+    ).filter(F.col("__w") != "")
+    tf = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    joined = tf.join(stats.select("__w", "__ct", "__cq"), "__w", "left").fillna(
+        {"__ct": 0, "__cq": 0}
+    )
+    term = F.col("__tf") * (
+        F.log((F.col("__ct") + F.lit(1.0)) / F.lit(float(nt + v)))
+        - F.log((F.col("__cq") + F.lit(1.0)) / F.lit(float(nq + v)))
+    )
+    return joined.groupBy(id_col).agg(
+        F.sum("__tf").cast("bigint").alias("n_words"),
+        F.round(F.sum(term), 4).alias("log_weight"),
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     target_flag,
@@ -441,21 +518,7 @@ def dsir_log_weights(
     Float policy: per-doc Σ tf·(ln a − ln b) ROUNDED at 4 (libm logs
     differ at the last ulp across engines; the smoothed ratios are
     exact-integer divisions, identical operands both sides)."""
-    flagged = df.select(
-        F.col(id_col), F.col(text_col), target_flag.alias("__tgt")
-    )
-    words = flagged.select(
-        F.col(id_col), "__tgt", F.explode(_words(text_col)).alias("__w")
-    ).filter(F.col("__w") != "")
-    tf = words.groupBy(id_col, "__w").agg(
-        F.count(F.lit(1)).alias("__tf"), F.first("__tgt").alias("__tgt")
-    )
-    stats = tf.groupBy("__w").agg(
-        F.sum("__tf").alias("__cq"),
-        F.sum(F.when(F.col("__tgt"), F.col("__tf")).otherwise(0)).alias(
-            "__ct"
-        ),
-    )
+    tf, stats = _dsir_word_stats(df, target_flag, id_col, text_col)
     tot = stats.agg(
         F.sum("__cq").alias("__nq"),
         F.sum("__ct").alias("__nt"),

@@ -935,3 +935,124 @@ def test_stream_drift_matches_batch_and_skips_replay(spark, sf_dir, tmp_path):
 
     with pytest.raises(Exception, match="different stream"):
         run(str(tmp_path / "ckpt2"))
+
+
+def test_stream_quality_scores_match_batch(spark, sf_dir, tmp_path):
+    """Streaming classifier serving (streaming/qualityserve.py): docs
+    arriving in micro-batches scored with a PRE-TRAINED hashed-BoW
+    model accumulate exactly the batch scorer's output — the transform
+    is stateless (broadcast coefficients + per-row dot product), so
+    foreachBatch changes delivery, never scores."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.qualityml import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming.qualityserve import (
+        stream_quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupt = F.translate(F.col("text"), "aeiou", "01234")
+    labeled = docs.select("doc_id", "text", F.lit(1.0).alias("label")).unionByName(
+        docs.select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            corrupt.alias("text"),
+            F.lit(0.0).alias("label"),
+        )
+    )
+    model = train_quality_classifier(labeled)
+
+    feed = str(tmp_path / "feed")
+    arriving = labeled.select("doc_id", "text")
+    arriving.repartition(2).write.parquet(feed)
+    out, ckpt = str(tmp_path / "scored"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stream_quality_scores(
+        stream, model, out, ckpt, trigger_available_now=True
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    want = {
+        (r.doc_id, round(r.quality_prob, 9), r.quality_pred)
+        for r in score_quality(model, arriving).collect()
+    }
+    got_df = spark.read.parquet(out)
+    got = {
+        (r.doc_id, round(r.quality_prob, 9), r.quality_pred)
+        for r in got_df.collect()
+    }
+    assert got == want
+    assert got_df.select("batch_id").distinct().count() >= 2
+
+
+def test_stream_dsir_weights_match_batch(spark, sf_dir, tmp_path):
+    """Streaming DSIR serving: arriving docs scored against FROZEN
+    unigram models (materialized stats frame + exact scalars) equal
+    the batch dsir_score_batch on the same rows, bit for bit."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.textstats import (
+        dsir_model_frames,
+        dsir_score_batch,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming.qualityserve import (
+        stream_dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    stats, nt, nq, v = dsir_model_frames(docs, F.col("source") == "src0")
+    sdir = str(tmp_path / "model_stats")
+    stats.write.parquet(sdir)
+    frozen = spark.read.parquet(sdir)
+
+    # "new" docs: reversed-token variants under shifted ids (OOV-free
+    # but distinct rows), plus a pure-OOV doc exercising the smoothing
+    arriving = docs.select(
+        (F.col("doc_id") + 50_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+"))).alias(
+            "text"
+        ),
+    ).unionByName(
+        spark.createDataFrame(
+            [(99_999, "zzzq zzzq wwwx")], ["doc_id", "text"]
+        )
+    )
+    feed = str(tmp_path / "feed")
+    arriving.repartition(2).write.parquet(feed)
+    out, ckpt = str(tmp_path / "weights"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stream_dsir_weights(
+        stream, frozen, nt, nq, v, out, ckpt, trigger_available_now=True
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    want = {
+        (r.doc_id, r.n_words, r.log_weight)
+        for r in dsir_score_batch(arriving, frozen, nt, nq, v).collect()
+    }
+    got_df = spark.read.parquet(out)
+    got = {
+        (r.doc_id, r.n_words, r.log_weight) for r in got_df.collect()
+    }
+    assert got == want
+    assert got_df.select("batch_id").distinct().count() >= 2
