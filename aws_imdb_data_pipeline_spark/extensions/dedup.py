@@ -74,29 +74,30 @@ def simhash64(
     return df.join(sig, ids, "left").fillna({out_col: 0})
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
+def hamming_near_dup_pairs(
+    fps: DataFrame,
     id_col: str,
-    text_col: str,
+    fp_col: str,
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
-    ``bands`` slices; two docs within ``max_hamming`` bits must agree
-    exactly on at least one band (pigeonhole, when max_hamming < bands)
-    → bucket-join per band, then exact hamming filter via
-    bit_count(xor). Candidate generation is linear, never O(N^2)."""
-    fp = simhash64(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("__id"), F.col("simhash")
-    )
+    """Near-dup pairs of 64-bit fingerprints by banded hamming join —
+    the shared kernel behind SimHash text near-dup and perceptual-hash
+    image near-dup: band the fingerprint into ``bands`` slices; two
+    fingerprints within ``max_hamming`` bits must agree EXACTLY on at
+    least one band (pigeonhole — LOSSLESS whenever
+    max_hamming < bands, which makes banded output provably equal to
+    the all-pairs scan) → bucket-join per band, exact hamming filter
+    via bit_count(xor). Candidate generation is linear, never O(N^2)."""
+    fp = fps.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp"))
     width = 64 // bands
     banded = fp.select(
         "__id",
-        "simhash",
+        "__fp",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                    F.shiftrightunsigned(F.col("__fp"), b * width).bitwiseAND(
                         F.lit((1 << width) - 1)
                     )
                     for b in range(bands)
@@ -105,10 +106,10 @@ def simhash_near_dup_pairs(
         ).alias("band", "band_bits"),
     )
     a = banded.select(
-        F.col("__id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "band_bits"
+        F.col("__id").alias("id_a"), F.col("__fp").alias("fp_a"), "band", "band_bits"
     )
     b = banded.select(
-        F.col("__id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "band_bits"
+        F.col("__id").alias("id_b"), F.col("__fp").alias("fp_b"), "band", "band_bits"
     )
     pairs = (
         a.join(b, ["band", "band_bits"])
@@ -120,6 +121,23 @@ def simhash_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: fingerprint, then the shared banded
+    hamming kernel (:func:`hamming_near_dup_pairs`)."""
+    fp = simhash64(df.select(id_col, text_col), text_col).select(
+        id_col, "simhash"
+    )
+    return hamming_near_dup_pairs(
+        fp, id_col, "simhash", max_hamming=max_hamming, bands=bands
+    )
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_by: list[Column]) -> DataFrame:

@@ -247,6 +247,71 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("hash_hi", LongType(), True),
+        StructField("hash_lo", LongType(), True),
+        StructField("n_set", IntegerType(), True),
+    ]
+)
+
+
+def ahash_images(
+    media: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per PNG payload: decode →
+    nearest-index resize to (hash_w, hash_h) — the SAME index map the
+    resize operator and its SQL oracle pin — → gray = channel mean →
+    bit b=(y*hash_w+x) set iff gray(y,x) > mean(gray). Emitted as two
+    unsigned 32-bit halves in longs (``hash_hi`` = bits 32..63,
+    ``hash_lo`` = bits 0..31) so an exact SQL oracle never fights
+    64-bit sign overflow; recombine with ``shiftleft(hash_hi,32) |
+    hash_lo`` for the banded hamming kernel
+    (extensions.dedup.hamming_near_dup_pairs). The mean is an exact
+    power-of-two division (Σ/64), so the threshold comparison is
+    bit-deterministic across engines. Undecodable payloads yield NULL
+    hash columns (the _decode poison policy)."""
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_png,
+        resize_nearest,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {
+                    "media_id": mid, "hash_hi": None, "hash_lo": None,
+                    "n_set": None,
+                }
+                try:
+                    px = decode_png(bytes(payload))
+                    small = resize_nearest(px, hash_w, hash_h)
+                    gray = small.mean(axis=2)
+                    bits = (gray > gray.mean()).reshape(-1)
+                    lo = hi = 0
+                    for b, on in enumerate(bits):
+                        if on:
+                            if b < 32:
+                                lo |= 1 << b
+                            else:
+                                hi |= 1 << (b - 32)
+                    row.update(
+                        hash_hi=hi, hash_lo=lo, n_set=int(bits.sum())
+                    )
+                except Exception:  # noqa: BLE001 — poison payloads → NULL row
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -249,6 +249,38 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_ks_from_cells(cells, "event_type", n_bins=_PSI_BINS)
 
 
+def gradient_png_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal fixture contract: every document rendered as a
+    REAL PNG — 16-wide gradient image, pixel (y, x) = (c + 7y + 3x)
+    mod 256 with c = the first char's CODE POINT (DuckDB ascii()
+    semantics, not the first UTF-8 byte) and height = ceil(bytes/16) —
+    the closed form every multimodal oracle (resize mean, aHash bits)
+    re-derives in SQL. One Arrow-batched pandas UDF builds the
+    payloads; shared by multimodal_image_resize and the aHash family."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import encode_png
+
+    @pandas_udf("binary")
+    def to_png(texts: pd.Series) -> pd.Series:
+        def build(t: str) -> bytes:
+            data = t.encode("utf-8")
+            c = ord(t[0]) if t else 0
+            h = max(-(-len(data) // 16), 1)
+            y = np.arange(h).reshape(-1, 1)
+            x = np.arange(16).reshape(1, -1)
+            v = ((c + 7 * y + 3 * x) % 256).astype(np.uint8)
+            return encode_png(np.repeat(v[:, :, None], 3, axis=2))
+
+        return texts.map(build)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"), to_png("text").alias("payload")
+    )
+
+
 @register(
     "multimodal_image_resize",
     oracle="""
@@ -290,34 +322,11 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one Arrow-batched mapInPandas — the only Python is the
     codec kernel itself (the legitimate UDF class); stats, grouping
     and the oracle comparison all stay JVM-side."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    from aws_imdb_data_pipeline_spark.extensions.codecs import encode_png
     from aws_imdb_data_pipeline_spark.extensions.multimodal import (
         resize_images,
     )
 
-    @pandas_udf("binary")
-    def to_png(texts: pd.Series) -> pd.Series:
-        def build(t: str) -> bytes:
-            data = t.encode("utf-8")
-            # code POINT of the first char (DuckDB ascii() semantics),
-            # not the first UTF-8 byte — they differ beyond ASCII
-            c = ord(t[0]) if t else 0
-            h = max(-(-len(data) // 16), 1)
-            y = np.arange(h).reshape(-1, 1)
-            x = np.arange(16).reshape(1, -1)
-            v = ((c + 7 * y + 3 * x) % 256).astype(np.uint8)
-            return encode_png(np.repeat(v[:, :, None], 3, axis=2))
-
-        return texts.map(build)
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), to_png("text").alias("payload")
-    )
-    resized = resize_images(media, out_w=8, out_h=8)
+    resized = resize_images(gradient_png_media(spark, sf_dir), out_w=8, out_h=8)
     return resized.select(
         F.col("media_id").alias("doc_id"),
         "orig_width",

@@ -1,7 +1,11 @@
-"""Seventh extensions batch (round 9): the two data-quality operators
+"""Seventh extensions batch (round 9): the data-quality operators
 above the heuristic rung — DSIR importance reweighting toward a target
-domain (fully SQL-oracled) and a trained hashed-BoW quality classifier
-(MLlib; driver-verified via a pinned-boolean planted-task check).
+domain (fully SQL-oracled, raw + artifact-served forms), a trained
+hashed-BoW quality classifier (MLlib; driver-verified via a
+pinned-boolean planted-task check) — and perceptual-hash image dedup
+(aHash bits oracled exactly from the gradient-PNG closed form; the
+banded hamming near-dup query fully oracled because banding is
+pigeonhole-lossless at max_hamming < bands).
 """
 
 from __future__ import annotations
@@ -212,4 +216,129 @@ def quality_classifier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__pclean") - F.col("__pcorrupt") >= 0.2).alias(
             "classes_separated"
         ),
+    )
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               ascii(substr(text, 1, 1)) AS c,
+               greatest(CAST(ceil(octet_length(encode(text)) / 16.0)
+                             AS INTEGER), 1) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT g.doc_id, (y.y * 8 + x.x) AS b,
+               (g.c + 7 * ((y.y * g.h) // 8) + 6 * x.x) % 256 AS v
+        FROM g, range(8) AS y(y), range(8) AS x(x)
+    ),
+    m AS (SELECT doc_id, SUM(v) / 64.0 AS mn FROM px GROUP BY doc_id)
+    SELECT px.doc_id,
+           CAST(SUM(CASE WHEN v > mn AND b >= 32
+                         THEN (CAST(1 AS BIGINT) << (b - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(SUM(CASE WHEN v > mn AND b < 32
+                         THEN (CAST(1 AS BIGINT) << b)
+                         ELSE 0 END) AS BIGINT) AS hash_lo,
+           CAST(SUM(CASE WHEN v > mn THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_set
+    FROM px JOIN m USING (doc_id)
+    GROUP BY px.doc_id
+    """,
+    operators=("EXT-multimodal", "EXT-dedup"),
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of every document's gradient PNG,
+    verified bit-for-bit against SQL: decode → 8x8 nearest resize →
+    gray → threshold-vs-mean, emitted as two unsigned 32-bit halves.
+    The oracle re-derives the 64 resized pixels in closed form (the
+    same (y*h)//8 index map multimodal_image_resize pins), computes
+    the exact power-of-two mean, and reassembles both hash words —
+    so a codec bug, a wrong index map, a channel mix-up, or a bit-
+    order slip each flip specific oracle bits. The only Python is the
+    Arrow-batched codec kernel."""
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        ahash_images,
+    )
+    from aws_imdb_data_pipeline_spark.plans.extensions6 import (
+        gradient_png_media,
+    )
+
+    fps = ahash_images(gradient_png_media(spark, sf_dir))
+    return fps.select(
+        F.col("media_id").alias("doc_id"), "hash_hi", "hash_lo", "n_set"
+    )
+
+
+@register(
+    "multimodal_ahash_neardup",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               ascii(substr(text, 1, 1)) AS c,
+               greatest(CAST(ceil(octet_length(encode(text)) / 16.0)
+                             AS INTEGER), 1) AS h
+        FROM documents WHERE doc_id < 500
+    ),
+    px AS (
+        SELECT g.doc_id, (y.y * 8 + x.x) AS b,
+               (g.c + 7 * ((y.y * g.h) // 8) + 6 * x.x) % 256 AS v
+        FROM g, range(8) AS y(y), range(8) AS x(x)
+    ),
+    m AS (SELECT doc_id, SUM(v) / 64.0 AS mn FROM px GROUP BY doc_id),
+    fp AS (
+        SELECT px.doc_id,
+               SUM(CASE WHEN v > mn AND b >= 32
+                        THEN (CAST(1 AS BIGINT) << (b - 32))
+                        ELSE 0 END) AS hi,
+               SUM(CASE WHEN v > mn AND b < 32
+                        THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS lo
+        FROM px JOIN m USING (doc_id)
+        GROUP BY px.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+    operators=("EXT-multimodal", "EXT-dedup", "J1"),
+)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicates by perceptual hash, FULLY ORACLED — rare
+    for an LSH-banded operator, possible here because banding is
+    LOSSLESS at max_hamming(3) < bands(4) (pigeonhole: two hashes
+    within 3 bits agree exactly on >= 1 of 4 slices), so the banded
+    plan's output provably equals the oracle's all-pairs scan. The
+    engine runs the linear banded kernel
+    (extensions.dedup.hamming_near_dup_pairs — the SimHash machinery
+    reused on image fingerprints); the oracle brute-forces the
+    closed-form hashes. Bounded to the doc_id < 500 slice: the oracle
+    side is quadratic BY DESIGN (that is what makes it an oracle) and
+    the contract is slice-size-independent; the banded kernel itself
+    is the scale path and is what runs on the full corpus."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        hamming_near_dup_pairs,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        ahash_images,
+    )
+    from aws_imdb_data_pipeline_spark.plans.extensions6 import (
+        gradient_png_media,
+    )
+
+    media = gradient_png_media(spark, sf_dir).filter(
+        F.col("media_id") < 500
+    )
+    fps = ahash_images(media).select(
+        "media_id",
+        (
+            F.shiftleft(F.col("hash_hi"), 32).bitwiseOR(F.col("hash_lo"))
+        ).alias("__fp64"),
+    )
+    return hamming_near_dup_pairs(
+        fps, "media_id", "__fp64", max_hamming=3, bands=4
     )

@@ -284,3 +284,49 @@ def test_framepack_short_payload_and_every_n_validation(spark):
     with _pt.raises(ValueError):
         sample_frames(media, 0)
     assert sample_frames(media, 2).count() == 0  # poison-safe explode
+
+
+def test_ahash_planted_duplicates_and_inversion(spark):
+    """aHash contract on planted images: identical payloads hash
+    identically (hamming 0 through the banded kernel), an INVERTED
+    image (255-v) flips essentially every threshold decision, and a
+    poison payload yields the NULL row."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import encode_png
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        hamming_near_dup_pairs,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        ahash_images,
+    )
+
+    y = np.arange(12).reshape(-1, 1)
+    x = np.arange(16).reshape(1, -1)
+    v = ((40 + 7 * y + 3 * x) % 256).astype(np.uint8)
+    img = encode_png(np.repeat(v[:, :, None], 3, axis=2))
+    inv = encode_png(np.repeat((255 - v)[:, :, None], 3, axis=2))
+    rows = [(1, img), (2, img), (3, inv), (4, b"not a png")]
+    media = spark.createDataFrame(rows, ["media_id", "payload"])
+    fps = ahash_images(media)
+    got = {r.media_id: (r.hash_hi, r.hash_lo, r.n_set) for r in fps.collect()}
+    assert got[1] == got[2] and got[1][0] is not None
+    assert got[4] == (None, None, None)
+    # inversion flips (nearly) all 64 bits: the two hashes are ~complements
+    inv_dist = bin(
+        ((got[1][0] ^ got[3][0]) << 32) | (got[1][1] ^ got[3][1])
+    ).count("1")
+    assert inv_dist >= 56
+
+    fp64 = fps.filter(F.col("hash_hi").isNotNull()).select(
+        "media_id",
+        F.shiftleft("hash_hi", 32).bitwiseOR(F.col("hash_lo")).alias("fp"),
+    )
+    pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dup_pairs(
+            fp64, "media_id", "fp", max_hamming=3, bands=4
+        ).collect()
+    }
+    assert pairs == {(1, 2, 0)}  # twins found at 0; inversion excluded
