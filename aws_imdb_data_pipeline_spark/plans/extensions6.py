@@ -337,6 +337,45 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gradient_fpk_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video fixture contract: every document rendered as a REAL
+    FPK1 framepack of 2 + doc_id%3 gradient frames, 4x4, 40 ms apart,
+    frame f's pixels = (c + 16f + 7y + 3x) mod 256 with c = the first
+    char's code point — the closed form the frame-sample and video-
+    signature oracles re-derive in SQL. Shared by
+    multimodal_frame_sample and the video-dedup family."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        encode_framepack,
+        encode_png,
+    )
+
+    @pandas_udf("binary")
+    def to_fpk(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def build(did: int, t: str) -> bytes:
+            # code POINT (DuckDB ascii() semantics); see image_resize
+            c = ord(t[0]) if t else 0
+            y = np.arange(4).reshape(-1, 1)
+            x = np.arange(4).reshape(1, -1)
+            frames = []
+            for f in range(2 + did % 3):
+                v = ((c + 16 * f + 7 * y + 3 * x) % 256).astype(np.uint8)
+                frames.append(encode_png(np.repeat(v[:, :, None], 3, axis=2)))
+            return encode_framepack(frames, 40)
+
+        return pd.Series(
+            [build(d, t) for d, t in zip(doc_ids, texts)]
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        to_fpk("doc_id", "text").alias("payload"),
+    )
+
+
 @register(
     "multimodal_frame_sample",
     oracle="""
@@ -380,40 +419,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     work after an O(1) header parse per frame skipped; Arrow batching
     keeps peak memory at one batch of frames, and everything after
     the kernel is JVM-side."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    from aws_imdb_data_pipeline_spark.extensions.codecs import (
-        encode_framepack,
-        encode_png,
-    )
     from aws_imdb_data_pipeline_spark.extensions.multimodal import (
         sample_frames,
     )
 
-    @pandas_udf("binary")
-    def to_fpk(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
-        def build(did: int, t: str) -> bytes:
-            # code POINT (DuckDB ascii() semantics); see image_resize
-            c = ord(t[0]) if t else 0
-            y = np.arange(4).reshape(-1, 1)
-            x = np.arange(4).reshape(1, -1)
-            frames = []
-            for f in range(2 + did % 3):
-                v = ((c + 16 * f + 7 * y + 3 * x) % 256).astype(np.uint8)
-                frames.append(encode_png(np.repeat(v[:, :, None], 3, axis=2)))
-            return encode_framepack(frames, 40)
-
-        return pd.Series(
-            [build(d, t) for d, t in zip(doc_ids, texts)]
-        )
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        to_fpk("doc_id", "text").alias("payload"),
-    )
-    frames = sample_frames(media, every_n=2)
+    frames = sample_frames(gradient_fpk_media(spark, sf_dir), every_n=2)
     return frames.select(
         F.col("media_id").alias("doc_id"),
         "frame_idx",

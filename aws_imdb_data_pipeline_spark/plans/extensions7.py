@@ -342,3 +342,120 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(
         fps, "media_id", "__fp64", max_hamming=3, bands=4
     )
+
+
+_VIDEO_SIG_SQL = """
+    WITH g AS (
+        SELECT doc_id,
+               ascii(substr(text, 1, 1)) AS c,
+               2 + doc_id % 3 AS nf
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, c, CAST(unnest(range(0, nf, 2)) AS INTEGER) AS fidx
+        FROM g
+    ),
+    px AS (
+        SELECT fr.doc_id, fr.fidx, (y.y * 4 + x.x) AS b,
+               (fr.c + 16 * fr.fidx + 7 * y.y + 3 * x.x) % 256 AS v
+        FROM fr, range(4) AS y(y), range(4) AS x(x)
+    ),
+    m AS (
+        SELECT doc_id, fidx, SUM(v) / 16.0 AS mn
+        FROM px GROUP BY doc_id, fidx
+    ),
+    fh AS (
+        SELECT px.doc_id, px.fidx,
+               SUM(CASE WHEN v > mn THEN (1 << b) ELSE 0 END) AS fhash
+        FROM px JOIN m USING (doc_id, fidx)
+        GROUP BY px.doc_id, px.fidx
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_sampled,
+               string_agg(CAST(fhash AS VARCHAR), '-' ORDER BY fidx)
+                   AS video_sig
+        FROM fh GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "multimodal_video_signatures",
+    oracle=_VIDEO_SIG_SQL + """
+    SELECT doc_id, n_sampled, video_sig FROM sig
+    """,
+    operators=("EXT-multimodal", "EXT-dedup", "J4"),
+)
+def multimodal_video_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fingerprint for dedup, verified END TO END against SQL:
+    each document's FPK1 video is container-PARSED, every 2nd frame
+    PNG-decoded and perceptual-hashed (4x4 aHash — 16 threshold bits
+    per frame), and the ordered per-frame hashes joined into the
+    video's signature string. The oracle re-derives every sampled
+    frame's 16 hash bits from the gradient closed form and re-joins
+    them in frame order — so the container offsets, the sampling
+    stride, the codec, the hash bit order, AND the frame ordering are
+    all pinned by one hash match. The production video-dedup shape:
+    frame-sampled fingerprint sequence as the dedup key."""
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        ahash_images,
+        sample_frames,
+    )
+    from aws_imdb_data_pipeline_spark.plans.extensions6 import (
+        gradient_fpk_media,
+    )
+
+    frames = sample_frames(gradient_fpk_media(spark, sf_dir), every_n=2)
+    # composite key: nf <= 4 frames, frame_idx < 16 — decomposed below
+    keyed = frames.select(
+        (F.col("media_id") * 16 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").alias("payload"),
+    )
+    fh = ahash_images(keyed, hash_w=4, hash_h=4).select(
+        (F.col("media_id") / 16).cast("long").alias("doc_id"),
+        F.pmod(F.col("media_id"), F.lit(16)).cast("int").alias("fidx"),
+        F.col("hash_lo"),  # 16 bits -> entirely in the low word
+    )
+    return fh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sampled"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("fidx", "hash_lo"))),
+                lambda s: s["hash_lo"].cast("string"),
+            ),
+            "-",
+        ).alias("video_sig"),
+    )
+
+
+@register(
+    "multimodal_video_dup_groups",
+    oracle=_VIDEO_SIG_SQL + """
+    SELECT video_sig,
+           CAST(COUNT(*) AS BIGINT) AS n_videos,
+           MIN(doc_id) AS canonical_doc
+    FROM sig
+    GROUP BY video_sig
+    HAVING COUNT(*) > 1
+    """,
+    operators=("EXT-multimodal", "EXT-dedup", "A1"),
+)
+def multimodal_video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-video groups by signature equality: the exact-dedup
+    tail of the video fingerprint — one hash-aggregate over the
+    signature strings, min-id canonical per group (the same survivor
+    rule the text dedup family uses). Linear: no pairwise anything —
+    signature equality IS the bucket. Fully oracled via the same
+    closed form as multimodal_video_signatures."""
+    from aws_imdb_data_pipeline_spark.plans.registry import REGISTRY
+
+    sig = REGISTRY["multimodal_video_signatures"].fn(spark, sf_dir)
+    return (
+        sig.groupBy("video_sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_videos") > 1)
+    )
