@@ -312,6 +312,67 @@ def ahash_images(
     )
 
 
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("fp", IntegerType(), True),
+        StructField("n_set", IntegerType(), True),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, n_frames: int = 16) -> DataFrame:
+    """Energy-profile audio fingerprint per PCM-16 WAV payload: decode
+    → split samples into ``n_frames`` contiguous frames (sample i →
+    frame (i*n_frames)//n) → bit f set iff frame f's MEAN sample
+    exceeds the global mean. The comparison is evaluated as the
+    integer cross-product ``frame_sum * n > total_sum * frame_len`` —
+    no float anywhere, so an exact SQL oracle can reproduce every bit.
+    The audio sibling of the image aHash: a coarse loudness contour
+    that survives re-encoding, keyed for exact/bucketed dedup.
+    Undecodable payloads yield the NULL row."""
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        decode_wav_pcm16,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {
+                    "media_id": mid, "n_samples": None, "fp": None,
+                    "n_set": None,
+                }
+                try:
+                    arr, _rate = decode_wav_pcm16(bytes(payload))
+                    s = arr[:, 0].astype(np.int64)
+                    n = len(s)
+                    if n == 0:
+                        row.update(n_samples=0, fp=0, n_set=0)
+                    else:
+                        idx = (np.arange(n) * n_frames) // n
+                        total = int(s.sum())
+                        fp = n_set = 0
+                        for f in range(n_frames):
+                            mask = idx == f
+                            cnt = int(mask.sum())
+                            if cnt and int(s[mask].sum()) * n > total * cnt:
+                                fp |= 1 << f
+                                n_set += 1
+                        row.update(n_samples=n, fp=fp, n_set=n_set)
+                except Exception:  # noqa: BLE001 — poison payloads → NULL
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FP_SCHEMA
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -49,7 +49,10 @@ def train_quality_classifier(
     :func:`score_quality`). Deterministic for fixed input data up to
     float aggregation order (LBFGS from zero init); contract floors
     are therefore thresholds, never exact score pins."""
-    from pyspark.ml import Pipeline
+    import shutil
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
 
@@ -62,7 +65,22 @@ def train_quality_classifier(
         maxIter=max_iter,
         regParam=reg_param,
     )
-    return Pipeline(stages=[tf, lr]).fit(_token_array(labeled, text_col))
+    fitted = Pipeline(stages=[tf, lr]).fit(_token_array(labeled, text_col))
+    # Strip the training summary via an ML-persistence round-trip: the
+    # freshly-fitted LR model carries trainingSummary -> a DataFrame ->
+    # the SparkSession, and transform()'s prediction UDF closure
+    # serializes the MODEL — so scoring explodes with
+    # "Task not serializable: ObservationManager" whenever anything
+    # non-serializable is reachable from the session (any
+    # quality/observe.py Observation in the same session triggers it).
+    # A loaded model carries coefficients only; the round-trip is the
+    # documented way to drop the summary.
+    tmp = tempfile.mkdtemp(prefix="qualml_")
+    try:
+        fitted.write().overwrite().save(tmp)
+        return PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_quality(

@@ -10,6 +10,8 @@ pigeonhole-lossless at max_hamming < bands).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -458,4 +460,69 @@ def multimodal_video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc"),
         )
         .filter(F.col("n_videos") > 1)
+    )
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               ascii(unnest(regexp_split_to_array(text, ''))) AS s,
+               generate_subscripts(regexp_split_to_array(text, ''), 1) AS i,
+               len(regexp_split_to_array(text, '')) AS n
+        FROM documents
+    ),
+    fs AS (
+        SELECT doc_id, ((i - 1) * 16) // n AS f,
+               SUM(s) AS fsum, COUNT(*) AS cnt, ANY_VALUE(n) AS n
+        FROM chars GROUP BY doc_id, ((i - 1) * 16) // n
+    ),
+    tot AS (SELECT doc_id, SUM(fsum) AS total FROM fs GROUP BY doc_id)
+    SELECT fs.doc_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN fsum * n > total * cnt
+                         THEN (1 << f) ELSE 0 END) AS INTEGER) AS fp,
+           CAST(SUM(CASE WHEN fsum * n > total * cnt
+                         THEN 1 ELSE 0 END) AS INTEGER) AS n_set
+    FROM fs JOIN tot USING (doc_id)
+    GROUP BY fs.doc_id
+    """,
+    operators=("EXT-multimodal", "EXT-dedup"),
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint verified bit-for-bit against SQL: each
+    document's CODE POINTS become PCM-16 samples in a REAL WAV
+    container, the engine decodes it back and computes the 16-frame
+    energy-contour fingerprint (extensions.multimodal.
+    audio_fingerprint) — and every threshold bit is an INTEGER
+    comparison (frame_sum * n > total * frame_len), so the oracle
+    reproduces the hash exactly from the characters, with zero float
+    tolerance anywhere. Pins the WAV codec round-trip, the frame
+    split, and the bit order in one hash match — the audio member of
+    the perceptual-dedup family (image aHash, video frame-signature)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        encode_wav_pcm16,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        audio_fingerprint,
+    )
+
+    @pandas_udf("binary")
+    def to_wav(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: encode_wav_pcm16(
+                np.array([ord(ch) for ch in t], dtype=np.int16), 8000
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), to_wav("text").alias("payload")
+    )
+    return audio_fingerprint(media, n_frames=16).select(
+        F.col("media_id").alias("doc_id"), "n_samples", "fp", "n_set"
     )

@@ -164,3 +164,17 @@ def test_retrieval_pipeline_example(spark, sf_dir, tmp_path):
     assert stats["hard_negatives"] > 0 and stats["hybrid_results"] > 0
     pairs = spark.read.parquet(str(tmp_path / "contrastive_pairs"))
     assert pairs.filter("gold_doc_id = negative_doc_id").count() == 0
+
+
+def test_quality_pipeline_example(spark, sf_dir):
+    """examples/run_quality_pipeline.py composes: perceptual dedup →
+    classifier gate → DSIR reweighting → importance sample; the
+    canonical set shrinks, the gate keeps the clean docs, the sample
+    is exactly k, and the target-class share does not decrease."""
+    from run_quality_pipeline import run_quality
+
+    out = run_quality(spark, sf_dir, k=40)
+    assert 0 < out["n_canonical"] <= out["n_docs"]
+    assert 0 < out["n_kept"] <= out["n_canonical"]
+    assert out["n_sampled"] == min(40, out["n_kept"])
+    assert out["target_share_sample"] >= out["target_share_pool"] - 1e-9

@@ -330,3 +330,33 @@ def test_ahash_planted_duplicates_and_inversion(spark):
         ).collect()
     }
     assert pairs == {(1, 2, 0)}  # twins found at 0; inversion excluded
+
+
+def test_audio_fingerprint_integer_bits_and_poison(spark):
+    """audio_fingerprint contract: bits come from the integer
+    cross-product (frame_sum * n > total * frame_len) — verified
+    against a tiny hand-computed signal — identical payloads hash
+    identically, and a poison payload yields the NULL row."""
+    import numpy as np
+
+    from aws_imdb_data_pipeline_spark.extensions.codecs import (
+        encode_wav_pcm16,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.multimodal import (
+        audio_fingerprint,
+    )
+
+    # 8 samples, n_frames=4 -> frames of 2: sums (1, 5, 9, 13); total 28
+    # bit f iff fsum*8 > 28*2 = fsum > 7 -> frames 2 and 3 set
+    s = np.array([0, 1, 2, 3, 4, 5, 6, 7], dtype=np.int16)
+    wav = encode_wav_pcm16(s, 8000)
+    media = spark.createDataFrame(
+        [(1, wav), (2, wav), (3, b"junk")], ["media_id", "payload"]
+    )
+    got = {
+        r.media_id: (r.n_samples, r.fp, r.n_set)
+        for r in audio_fingerprint(media, n_frames=4).collect()
+    }
+    assert got[1] == (8, 0b1100, 2)
+    assert got[2] == got[1]
+    assert got[3] == (None, None, None)
