@@ -27,9 +27,6 @@ round-only-SUMs rule every oracle in this repo follows.
 
 from __future__ import annotations
 
-import functools
-import operator
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -117,51 +114,61 @@ def maintain_grouped_agg(
     sum_alias: str = "sum_value",
     nval_alias: str = "n_vals",
 ) -> DataFrame:
-    """Merge ±1 delta rows into the base view: aggregate the deltas to
-    group cardinality, FULL OUTER sum against the base, drop groups
-    whose count reaches zero. COUNT/SUM self-maintainability is the
-    whole trick — no group ever needs its member rows again.
+    """Merge ±1 delta rows into the base view: union the base rows
+    with per-delta contribution rows and re-aggregate to group
+    cardinality, dropping groups whose count reaches zero. COUNT/SUM
+    self-maintainability is the whole trick — no group ever needs its
+    member rows again.
 
-    SQL-exact on two NULL fronts a naive merge gets wrong:
-    (1) the join is NULL-SAFE per group column (`eqNullSafe`) — a NULL
-    group key is a legitimate groupBy group, and a null-unsafe
-    full-outer join would split it into two rows instead of merging;
+    SQL-exact on two NULL fronts a naive merge gets wrong, and
+    structured as a UNION + ONE aggregate rather than a join:
+    (1) a NULL group key is a legitimate groupBy group — groupBy
+    merges NULL keys natively, where a null-unsafe full-outer join
+    splits them into two rows and a null-safe (eqNullSafe) join fixes
+    that but re-exchanges BOTH sides on derived (coalesce, isnull)
+    keys (+2 shuffles measured, bench-flagged);
     (2) the merged SUM is NULL (not 0.0) exactly when the maintained
     non-null value count reaches zero — matching a from-scratch SUM,
     which is NULL over a group whose surviving values are all NULL.
     The non-null count comes from the ``nval_alias`` column
-    :func:`grouped_state_agg` carries for precisely this purpose."""
-    delta_agg = deltas.groupBy(*group_cols).agg(
-        F.sum("__mult").alias("__dn"),
-        F.sum(F.col("__mult") * F.col(val_col)).alias("__dsum"),
-        F.sum(
-            F.when(F.col(val_col).isNotNull(), F.col("__mult")).otherwise(0)
-        ).alias("__dnn"),
+    :func:`grouped_state_agg` carries for precisely this purpose.
+
+    Plan: base rows and per-delta contribution rows union into ONE
+    partial+final hash aggregate on the group key — a single shuffle
+    of |groups| + delta-combined rows, strictly fewer than any
+    delta-aggregate + outer-join formulation."""
+    contrib_base = base_agg.select(
+        *group_cols,
+        F.col(count_alias).cast("long").alias("__n"),
+        F.col(sum_alias).alias("__s"),
+        F.col(nval_alias).cast("long").alias("__nn"),
     )
-    b, d = base_agg.alias("__base"), delta_agg.alias("__delta")
-    cond = functools.reduce(
-        operator.and_,
-        [
-            F.col(f"__base.{c}").eqNullSafe(F.col(f"__delta.{c}"))
-            for c in group_cols
-        ],
+    contrib_delta = deltas.select(
+        *group_cols,
+        F.col("__mult").cast("long").alias("__n"),
+        (F.col("__mult") * F.col(val_col)).alias("__s"),
+        F.when(F.col(val_col).isNotNull(), F.col("__mult"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__nn"),
     )
-    n_vals = F.coalesce(F.col(f"__base.{nval_alias}"), F.lit(0)) + F.coalesce(
-        F.col("__dnn"), F.lit(0)
-    )
-    raw_sum = F.coalesce(F.col(f"__base.{sum_alias}"), F.lit(0.0)) + F.coalesce(
-        F.col("__dsum"), F.lit(0.0)
-    )
-    merged = b.join(d, cond, "full_outer").select(
-        *[
-            F.coalesce(F.col(f"__base.{c}"), F.col(f"__delta.{c}")).alias(c)
-            for c in group_cols
-        ],
-        (
-            F.coalesce(F.col(f"__base.{count_alias}"), F.lit(0))
-            + F.coalesce(F.col("__dn"), F.lit(0))
-        ).alias(count_alias),
-        F.when(n_vals > 0, raw_sum).alias(sum_alias),
-        n_vals.alias(nval_alias),
+    merged = (
+        contrib_base.unionByName(contrib_delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__n").alias(count_alias),
+            F.sum("__s").alias("__rawsum"),
+            F.sum("__nn").alias(nval_alias),
+        )
+        .select(
+            *group_cols,
+            count_alias,
+            # SUM already skips NULL contributions; the n_vals gate
+            # restores NULL when a retraction drains the last non-null
+            F.when(F.col(nval_alias) > 0, F.col("__rawsum")).alias(
+                sum_alias
+            ),
+            nval_alias,
+        )
     )
     return merged.filter(F.col(count_alias) > 0)
