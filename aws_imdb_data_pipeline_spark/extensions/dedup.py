@@ -443,11 +443,14 @@ def minhash_pairs_from_index(
         .select("id_a", "id_b")
         .distinct()
     )
-    touched = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    # shingle bound: every id in an eligible bucket (size >= 2, so each
+    # member has a partner) participates in >= 1 candidate pair — the
+    # bound comes straight from the bounded index, NOT from `pairs`.
+    # Deriving it from pairs (union of both sides) made the index
+    # self-join + bucket window re-execute once per consumer (~3x per
+    # query — measured 17 scans / 24 shuffles vs 4/9 for the one-shot
+    # form), undoing the recompute savings the serving path exists for.
+    touched = bounded.select(F.col("id").alias(id_col)).distinct()
     sh = shingle_docs(
         docs.join(touched, id_col, "left_semi"), id_col, text_col,
         k=meta["k"],

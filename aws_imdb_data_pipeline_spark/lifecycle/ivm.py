@@ -137,6 +137,23 @@ def maintain_grouped_agg(
     partial+final hash aggregate on the group key — a single shuffle
     of |groups| + delta-combined rows, strictly fewer than any
     delta-aggregate + outer-join formulation."""
+    if nval_alias not in base_agg.columns:
+        # Legacy-view migration: a state dir whose `view` parquet was
+        # committed before the n_vals column existed would otherwise
+        # fail with an unresolved-column error on stream restart.
+        # Reconstruct conservatively: NULL sum => zero non-null values;
+        # non-NULL sum => assume all counted rows were non-null. The
+        # reconstruction is exact unless the legacy group mixed NULL
+        # and non-NULL values AND a later retraction drains the
+        # non-null ones (sum then reads 0.0 instead of NULL for that
+        # group until it is rebuilt) — documented next to the replay
+        # guard's legacy-checkpoint handling.
+        base_agg = base_agg.withColumn(
+            nval_alias,
+            F.when(F.col(sum_alias).isNull(), F.lit(0)).otherwise(
+                F.col(count_alias)
+            ),
+        )
     contrib_base = base_agg.select(
         *group_cols,
         F.col(count_alias).cast("long").alias("__n"),

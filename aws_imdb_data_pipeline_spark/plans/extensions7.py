@@ -415,7 +415,10 @@ def multimodal_video_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame").alias("payload"),
     )
     fh = ahash_images(keyed, hash_w=4, hash_h=4).select(
-        (F.col("media_id") / 16).cast("long").alias("doc_id"),
+        # integer decode: float division (media_id / 16) goes through a
+        # double and silently corrupts once doc_id*16 exceeds 2^53;
+        # shiftrightunsigned is exact for the full 64-bit key range
+        F.shiftrightunsigned(F.col("media_id"), 4).alias("doc_id"),
         F.pmod(F.col("media_id"), F.lit(16)).cast("int").alias("fidx"),
         F.col("hash_lo"),  # 16 bits -> entirely in the low word
     )
@@ -468,7 +471,7 @@ def multimodal_video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH chars AS (
         SELECT doc_id,
-               ascii(unnest(regexp_split_to_array(text, ''))) AS s,
+               ascii(unnest(regexp_split_to_array(text, ''))) % 32768 AS s,
                generate_subscripts(regexp_split_to_array(text, ''), 1) AS i,
                len(regexp_split_to_array(text, '')) AS n
         FROM documents
@@ -513,9 +516,14 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("binary")
     def to_wav(texts: pd.Series) -> pd.Series:
+        # & 0x7fff: keep every code point inside PCM-16's positive
+        # range — raw ord() over a non-ASCII doc would wrap in int16
+        # while the oracle's ascii() keeps the full code point, so both
+        # sides mask to the same 15-bit value (oracle: % 32768)
         return texts.map(
             lambda t: encode_wav_pcm16(
-                np.array([ord(ch) for ch in t], dtype=np.int16), 8000
+                np.array([ord(ch) & 0x7FFF for ch in t], dtype=np.int16),
+                8000,
             )
         )
 

@@ -15,14 +15,22 @@ quality operators, completing the artifact-serving stream family
   bump refits), the correct serving semantics.
 
 Per-batch outputs are IDENTICAL to the batch scorers on the same rows
-(pinned in tests/test_streaming.py); rows carry ``batch_id`` for the
-standard at-least-once replay hygiene.
+(pinned in tests/test_streaming.py). Delivery is EXACTLY-ONCE at the
+output: each micro-batch overwrites its own ``batch_id=<n>`` partition
+directory, so an at-least-once redelivery (crash between the parquet
+write and the checkpoint commit) rewrites the same directory instead
+of appending duplicate rows — the same hole ivmserve/drift close with
+their marker guard, solved here by idempotent writes because the sink
+is stateless (no cross-batch state to protect, so overwrite-by-key is
+sufficient and cheaper than a marker protocol). Readers load the root
+path; ``batch_id`` surfaces as a partition column.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 
 def stream_quality_scores(
@@ -33,16 +41,17 @@ def stream_quality_scores(
     text_col: str = "text",
     trigger_available_now: bool = False,
 ):
-    """Append (input columns, quality_prob, quality_pred, batch_id)
-    rows to ``out_path`` per micro-batch. Returns the StreamingQuery."""
+    """Write (input columns, quality_prob, quality_pred) rows to
+    ``out_path/batch_id=<n>`` per micro-batch (idempotent overwrite —
+    replays rewrite, never duplicate). Returns the StreamingQuery."""
     from aws_imdb_data_pipeline_spark.extensions.qualityml import (
         score_quality,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        score_quality(model, batch_df, text_col=text_col).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(out_path)
+        score_quality(model, batch_df, text_col=text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"batch_id={batch_id}"))
 
     writer = docs_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -64,9 +73,10 @@ def stream_dsir_weights(
     text_col: str = "text",
     trigger_available_now: bool = False,
 ):
-    """Append (id, n_words, log_weight, batch_id) rows to ``out_path``
-    per micro-batch, scored against the frozen (stats, nt, nq, v)
-    model. Returns the StreamingQuery.
+    """Write (id, n_words, log_weight) rows to ``out_path/batch_id=<n>``
+    per micro-batch (idempotent overwrite — replays rewrite, never
+    duplicate), scored against the frozen (stats, nt, nq, v) model.
+    Returns the StreamingQuery.
 
     Pass a MATERIALIZED ``stats`` frame (parquet-backed or persisted):
     foreachBatch re-executes the frame's lineage every trigger, and a
@@ -79,9 +89,9 @@ def stream_dsir_weights(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         dsir_score_batch(
             batch_df, stats, nt, nq, v, id_col=id_col, text_col=text_col
-        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     writer = docs_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

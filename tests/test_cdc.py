@@ -381,6 +381,51 @@ def test_ivm_null_group_and_null_sum_exactness(spark):
     assert got[None] == (2, 2.0, 1)      # ONE merged NULL-key group
 
 
+def test_ivm_legacy_view_without_n_vals_migrates(spark):
+    """A `view` parquet committed BEFORE the n_vals column existed must
+    still restart (round-9 advice): maintain_grouped_agg reconstructs
+    n_vals from the legacy columns (NULL sum -> 0 non-null values, else
+    count) instead of failing with an unresolved-column error. For
+    groups that never mixed NULL and non-NULL values the reconstruction
+    is exact — merge == from-scratch recompute."""
+    from aws_imdb_data_pipeline_spark.lifecycle.cdc import (
+        apply_changelog,
+        latest_state,
+    )
+    from aws_imdb_data_pipeline_spark.lifecycle.ivm import (
+        grouped_state_agg,
+        maintain_grouped_agg,
+        state_transition_deltas,
+    )
+
+    schema = "k int, seq int, op string, g string, x double"
+    base_log = spark.createDataFrame(
+        [
+            (1, 1, "I", "a", 1.0),
+            (2, 1, "I", "a", 2.0),
+            (3, 1, "I", "b", None),  # all-NULL group in the legacy view
+        ],
+        schema,
+    )
+    slice_log = spark.createDataFrame(
+        [(2, 2, "D", None, None), (4, 2, "I", "b", 7.0)], schema
+    )
+    snapshot = latest_state(base_log, ["k"], ["seq"])
+    legacy = grouped_state_agg(snapshot, ["g"], "x").drop("n_vals")
+    deltas = state_transition_deltas(snapshot, slice_log, ["k"], ["seq"])
+    got = {
+        r.g: (r.n_keys, r.sum_value, r.n_vals)
+        for r in maintain_grouped_agg(legacy, deltas, ["g"], "x").collect()
+    }
+    full = apply_changelog(snapshot, slice_log, ["k"], ["seq"])
+    want = {
+        r.g: (r.n_keys, r.sum_value, r.n_vals)
+        for r in grouped_state_agg(full, ["g"], "x").collect()
+    }
+    assert got == want
+    assert got["b"] == (2, 7.0, 1)  # NULL-sum legacy group gains a value
+
+
 def test_ivm_untouched_keys_emit_no_deltas(spark):
     """Delta volume ∝ slice: keys the slice never mentions produce
     zero delta rows (the snapshot is probed, never re-emitted)."""

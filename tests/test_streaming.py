@@ -994,6 +994,26 @@ def test_stream_quality_scores_match_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert got_df.select("batch_id").distinct().count() >= 2
 
+    # at-least-once replay: crash between the parquet write and the
+    # checkpoint commit redelivers the last batch under the same
+    # batch_id — the per-batch overwrite sink rewrites its own
+    # batch_id=<n> directory, so the output carries ZERO duplicates
+    n_before = spark.read.parquet(out).count()
+    last_batch = got_df.agg(F.max("batch_id")).collect()[0][0]
+    _delete_commit(ckpt, last_batch)
+    q2 = stream_quality_scores(
+        stream, model, out, ckpt, trigger_available_now=True
+    )
+    q2.awaitTermination(180)
+    q2.stop()
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n_before
+    got2 = {
+        (r.doc_id, round(r.quality_prob, 9), r.quality_pred)
+        for r in replayed.collect()
+    }
+    assert got2 == want
+
 
 def test_stream_dsir_weights_match_batch(spark, sf_dir, tmp_path):
     """Streaming DSIR serving: arriving docs scored against FROZEN
