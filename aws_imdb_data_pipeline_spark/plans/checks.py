@@ -154,25 +154,33 @@ def simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       check, as ground truth).
 
     n_docs / n_planted are engine-independent and value-checked."""
+    import os as _os
+
     from aws_imdb_data_pipeline_spark.extensions.dedup import (
         hamming_near_dup_pairs,
         simhash64,
+    )
+    from aws_imdb_data_pipeline_spark.plans.extensions import (
+        ensure_simhash_index,
     )
 
     OFF = 1_000_000
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rev_text = F.concat_ws(" ", F.reverse(F.split(F.col("text"), r"\s+")))
 
-    # Exactly TWO fingerprint passes over the corpus (base + reversed);
-    # every other frame below DERIVES from them — the round-8 version
-    # re-fingerprinted the corpus four times and was the suite's
-    # slowest query (11.4 s at sf0.1). Deriving the variant fps from
-    # the reversed pass is sound: fp_rev IS the planted variants'
-    # fingerprint computation (same reversed text, shifted id), not an
-    # assumption of the invariance that check (1) verifies.
-    # pinned: ~6 consumers each, and the frames are fingerprint-sized
-    # (16 bytes/doc — KBs at any test sf), so the pin is bounded-tiny
-    fp = simhash64(docs, "text").select("doc_id", "simhash").persist()
+    # Corpus fingerprints SERVE from the persisted simhash artifact
+    # (round-9 verdict #3): the base pass is one tokenize+bit-vote per
+    # CORPUS VERSION (ensure_simhash_index), and each of this check's
+    # ~6 consumers is a 16-byte-per-doc parquet scan — no recompute, no
+    # CacheManager pin. This also means the check verifies the SERVED
+    # fingerprints — the same frame simhash_near_dup_documents joins —
+    # not a parallel in-check recomputation. Only fp_rev (reversed
+    # text, check-specific by construction) is computed here: ONE
+    # fingerprint pass, persisted as a bounded-tiny pin (16 bytes/doc)
+    # feeding its two consumers.
+    fp = spark.read.parquet(
+        _os.path.join(ensure_simhash_index(spark, sf_dir), "fps")
+    ).select("doc_id", "simhash")
     fp_rev = simhash64(
         docs.select("doc_id", rev_text.alias("text")), "text"
     ).select("doc_id", "simhash").persist()

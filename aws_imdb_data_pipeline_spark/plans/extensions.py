@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.extensions.dedup import (
     minhash_dedup_pairs,
-    simhash_near_dup_pairs,
 )
 from aws_imdb_data_pipeline_spark.extensions.similarity import (
     augment_with_near_dups,
@@ -200,15 +199,58 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs (JVM-side bit-vote fingerprints → banded hamming join)
 # ---------------------------------------------------------------------------
+def ensure_simhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing the corpus SimHash fingerprint table
+    ((doc_id, simhash) parquet — lifecycle.artifacts convention, same
+    staleness key and completion-marker contract as ensure_band_index):
+    the corpus is tokenized/bit-voted ONCE per corpus version; every
+    consumer (the near-dup query, all four simhash_check legs) serves
+    from a 16-byte-per-doc parquet scan instead of re-fingerprinting."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import simhash64
+    from aws_imdb_data_pipeline_spark.lifecycle.artifacts import (
+        ensure_artifact,
+    )
+
+    params = dict(bits=64, tokenizer="ws")
+
+    def build(path: str, fp: str) -> dict:
+        docs = load_table(spark, sf_dir, "documents")
+        simhash64(docs.select("doc_id", "text"), "text").select(
+            "doc_id", "simhash"
+        ).write.mode("overwrite").parquet(os.path.join(path, "fps"))
+        return {"params": params}
+
+    path, _, _ = ensure_artifact(
+        "simhash_index", sf_dir,
+        os.path.join(sf_dir, "documents.parquet"),
+        params, build,
+    )
+    return path
+
+
 @register("simhash_near_dup_documents", oracle=None, operators=("EXT-dedup",))
 def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit, explode→xxhash64→bit-vote aggregates, all
     JVM-side) + banded hamming-distance join. Fingerprints are
     hash-family-specific → rows-only check; pytest verifies hamming
-    properties on planted near-dups."""
-    docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+    properties on planted near-dups; the banding/brute contract is
+    pinned by simhash_check.
+
+    SERVED from the persisted fingerprint artifact (round 10): the
+    corpus is fingerprinted once per version by ensure_simhash_index;
+    the query is the banded hamming join over that parquet —
+    output-identical to fingerprinting inline (simhash64 is
+    deterministic; hamming_near_dup_pairs is the same kernel)."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    fps = spark.read.parquet(
+        os.path.join(ensure_simhash_index(spark, sf_dir), "fps")
+    )
+    return hamming_near_dup_pairs(
+        fps, "doc_id", "simhash", max_hamming=3, bands=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -312,3 +312,33 @@ def test_minhash_pairs_from_index_equals_one_shot(spark, sf_dir, tmp_path):
     }
     assert served == one_shot
     assert len(served) > 0  # the fixture corpus has planted near-dups
+
+
+def test_simhash_served_from_artifact_equals_inline(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The artifact-served simhash near-dup query (parquet fingerprints
+    + banded hamming join) must emit EXACTLY the inline pipeline's
+    pairs — simhash64 is deterministic, so fingerprint-then-persist
+    changes storage, never values."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+    from aws_imdb_data_pipeline_spark.plans.extensions import (
+        simhash_near_dup_documents,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "arts"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    served = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_documents(spark, sf_dir).collect()
+    }
+    inline = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3, bands=4
+        ).collect()
+    }
+    assert served == inline
