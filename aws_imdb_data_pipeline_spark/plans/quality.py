@@ -1,10 +1,11 @@
 """Data-quality queries (SURVEY.md §2.9) bound to oracles.
 
-The exact-distinct profile is fully SQL-verifiable; the approx variant
-(HLL++, the reference's actual choice at glue.py:105-106) is registered
-without an oracle — the driver records a rows-only check, and the
-engine's own tests assert the approximation is within tolerance of the
-exact count.
+The exact-distinct profile is fully SQL-verifiable. The approx variant
+(HLL++, the reference's actual choice at glue.py:105-106) is ALSO
+oracled as of round 10: the profiled distinct columns are all
+tiny-cardinality categoricals where the HLL++ estimate is exactly the
+true count (see dq_profile_union_approx's docstring); the
+high-cardinality tolerance contract stays in dq_approx_distinct_check.
 """
 
 from __future__ import annotations
@@ -45,11 +46,57 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dq_profile_union_approx", oracle=None, operators=("Q1", "Q2", "A8", "U1"))
+@register(
+    "dq_profile_union_approx",
+    oracle="""
+    SELECT 'orders' AS dataset, COUNT(*) AS row_count,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_o_custkey,
+           MIN(o_totalprice) AS min_o_totalprice,
+           MAX(o_totalprice) AS max_o_totalprice,
+           COUNT(DISTINCT o_orderpriority) AS distinct_o_orderpriority,
+           COUNT(DISTINCT o_orderstatus) AS distinct_o_orderstatus
+    FROM orders
+    UNION ALL BY NAME
+    SELECT 'lineitem' AS dataset, COUNT(*) AS row_count,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_l_orderkey,
+           MIN(l_quantity) AS min_l_quantity,
+           MAX(l_quantity) AS max_l_quantity,
+           MIN(l_extendedprice) AS min_l_extendedprice,
+           MAX(l_extendedprice) AS max_l_extendedprice,
+           COUNT(DISTINCT l_returnflag) AS distinct_l_returnflag
+    FROM lineitem
+    UNION ALL BY NAME
+    SELECT 'customer' AS dataset, COUNT(*) AS row_count,
+           CAST(SUM(CASE WHEN c_name IS NULL OR c_name = '\\N'
+                          OR length(trim(c_name)) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS null_c_name,
+           MIN(c_acctbal) AS min_c_acctbal,
+           MAX(c_acctbal) AS max_c_acctbal,
+           COUNT(DISTINCT c_mktsegment) AS distinct_c_mktsegment
+    FROM customer
+    """,
+    operators=("Q1", "Q2", "A8", "U1"),
+)
 def dq_profile_union_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference-faithful variant: approx_count_distinct (HLL++)
     profiles for three datasets unioned by name (glue.py:320-355).
-    Approximate → no SQL oracle; rows-only check."""
+
+    ORACLED as of round 10 (retiring a permanent rows-only row) with
+    EXACT distinct counts, which is sound here without changing the
+    engine computation at all: every profiled distinct column is a
+    tiny-cardinality categorical (order priority 5, order status 3,
+    return flag 3, market segment 5) where HLL++'s estimator is exact —
+    at n distinct values over m = 2^9 registers, linear counting
+    returns m*ln(m/(m-n)) which rounds to n for n << m, and the fixed
+    corpus + fixed hash make it deterministic. That is also the
+    realistic regime: DQ profiles approx-count CATEGORICAL columns; the
+    high-cardinality tolerance contract (where the estimate genuinely
+    deviates) stays pinned by dq_approx_distinct_check's 5% band. If a
+    profile column ever gains enough cardinality to leave the exact
+    regime, this query's hash row fails loudly — the signal that the
+    oracle, not the engine, must move to the tolerance form."""
     profiles = [
         dq_profile(
             load_table(spark, sf_dir, "orders"),
