@@ -50,6 +50,46 @@ def test_bench_stdout_is_one_compact_parseable_line(
     assert "regressions" in d and d["sf"] == 0.001
 
 
+def test_headline_total_inside_budget():
+    """Cross-round drift gate (round-9 verdict #6): the committed
+    BENCH_DETAIL.json headline total must stay inside a fixed budget,
+    host-normalized with the same >=1.0-clamped calib ratio the
+    per-query gates use (slower host -> proportionally looser budget;
+    faster host compares raw — calib tracks arithmetic throughput,
+    not fixed overhead). The headline drifted 10.18 -> 13.51 s over
+    rounds 5-9 with every per-query flag explained post-hoc; this
+    makes the NEXT second of diffuse drift fail in-round. Budget
+    rationale in SCALE.md §40: the round-9 accepted level (13.51 s at
+    calib 0.189) plus one 0.5 s query's headroom — to be RATCHETED
+    DOWN as structural wins land, never up without a SCALE entry."""
+    import os
+
+    from bench import HEADLINE
+
+    BUDGET_SEC = 14.0
+    REF_CALIB = 0.19
+
+    detail = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    with open(detail) as f:
+        d = json.load(f)
+    times = d["queries"]
+    missing = [n for n in HEADLINE if n not in times]
+    assert missing == [], f"headline queries absent from BENCH_DETAIL: {missing}"
+    total = sum(times[n] for n in HEADLINE)
+    calib = d.get("calib_sec")
+    assert calib and calib > 0, "BENCH_DETAIL carries no calib_sec"
+    allowed = BUDGET_SEC * max(calib / REF_CALIB, 1.0)
+    assert total <= allowed, (
+        f"headline total {total:.2f}s exceeds budget {allowed:.2f}s "
+        f"(= {BUDGET_SEC}s at calib {REF_CALIB}, this run's calib "
+        f"{calib}). Either find the regression (SCALE §27 per-query "
+        f"A/B protocol) or justify a budget change in SCALE.md."
+    )
+
+
 def test_regression_gate_is_calib_normalized():
     """A uniformly slower host (calib up 1.35x, every query up 1.35x)
     must flag nothing; a genuine per-query 2x code regression must

@@ -275,6 +275,57 @@ def test_snapshot_order_is_freshness_computed():
     assert outside == [], f"never-verified oracled queries outside window: {outside}"
 
 
+def test_parity_audit_covers_every_rows_only_query():
+    """PARITY.md (tools/parity_audit.py) must audit EXACTLY the
+    rows-only registry entries, and every contract companion it names
+    must be a registered, ORACLED query (round-9 verdict #5: the
+    rows-only tail may never draw a driver sample, so its coverage
+    record has to be auditable and test-enforced fresh, like
+    PLAN_AUDIT). Regenerate with `python tools/parity_audit.py` after
+    adding/removing rows-only queries."""
+    import os
+    import sys
+
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PARITY.md",
+    )
+    audited: dict[str, str] = {}
+    with open(md) as f:
+        for line in f:
+            m = re.match(r"\| ([a-z0-9_]+) \| .* \| ([a-z0-9_]+) \| ", line)
+            if m and m.group(1) != "rows-only":
+                audited[m.group(1)] = m.group(2)
+    rows_only = {n for n in REGISTRY if REGISTRY[n].oracle is None}
+    assert set(audited) == rows_only, (
+        f"PARITY.md is stale — run tools/parity_audit.py. "
+        f"missing={sorted(rows_only - set(audited))} "
+        f"extra={sorted(set(audited) - rows_only)}"
+    )
+    # companions must exist, carry oracles, and the tool's mapping
+    # must cover the registry (same failure the tool raises, but red
+    # at commit time instead of at regeneration time)
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from parity_audit import COMPANIONS
+
+    unmapped = [n for n in rows_only if n not in COMPANIONS]
+    assert unmapped == [], f"rows-only queries without companions: {unmapped}"
+    for q, comp in audited.items():
+        assert comp in REGISTRY, f"{q}: companion {comp} not registered"
+        assert REGISTRY[comp].oracle is not None, (
+            f"{q}: companion {comp} is itself rows-only"
+        )
+    # no failed local executions recorded
+    with open(md) as f:
+        assert "ERROR" not in f.read(), "PARITY.md records failed runs"
+
+
 def test_runtime_bloom_filter_join_activates(spark, sf_dir):
     """Runtime bloom-filter pruning (enabled by default in the session)
     injects a bloom_filter semi-join filter on the fact side of a
