@@ -356,14 +356,27 @@ def dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_docs(docs, "doc_id", "text", k=3).select(
-        "doc_id", F.explode("__shingles").alias("g")
-    ).distinct()
+    # Shingles travel as xxhash64 keys, not strings (round-9 verdict
+    # #2): the ground-truth self-join shuffles 8-byte keys (~3x
+    # narrower rows), the same hashed-key-through-shuffle trade the
+    # corpus family documents (collision odds ~n_shingles^2/2^64;
+    # collisions would only INFLATE n_both, never drop a true pair).
+    # Measured trade-offs at sf0.1 (solo best-of-3): string keys
+    # 4.38 s -> hashed 3.74 s; a lazy localCheckpoint of this frame to
+    # dedup its 3 consumers went the other way (5.5 s) — the
+    # materialization barrier serializes stages that otherwise overlap,
+    # and re-deriving a cheap projection 3x costs less than storing it.
+    sh = (
+        shingle_docs(docs, "doc_id", "text", k=3)
+        .select("doc_id", F.explode("__shingles").alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = sh.select(F.col("doc_id").alias("id_a"), "g")
-    y = sh.select(F.col("doc_id").alias("id_b"), "g")
+    x = sh.select(F.col("doc_id").alias("id_a"), "gh")
+    y = sh.select(F.col("doc_id").alias("id_b"), "gh")
     inter = (
-        x.join(y, "g")
+        x.join(y, "gh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
