@@ -431,6 +431,15 @@ def minhash_pairs_from_index(
     if meta is None:
         raise ValueError(f"no band index at {index_path}")
     index = spark.read.parquet(_os.path.join(index_path, "bands"))
+    # Candidate generation = bucket-size window + index self-join.
+    # A bucket-local alternative (groupBy collect_list + nested-
+    # transform pair explosion) measured 2.4x FASTER in isolation
+    # (0.58 vs 1.38 s at sf0.1) but 20% SLOWER in the full query
+    # (interleaved same-session A/B, best 3.60 vs 3.03 s): the
+    # collect_list aggregate re-executes for each of its two consumers
+    # (pairs + the shingle bound), while the window form's identical
+    # (band, bucket) exchanges are reused across the self-join sides.
+    # Subtree cost only matters times its consumer count.
     bn = F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
     bounded = index.withColumn("__bn", bn).filter(
         (F.col("__bn") >= 2) & (F.col("__bn") <= max_bucket_size)
@@ -445,11 +454,9 @@ def minhash_pairs_from_index(
     )
     # shingle bound: every id in an eligible bucket (size >= 2, so each
     # member has a partner) participates in >= 1 candidate pair — the
-    # bound comes straight from the bounded index, NOT from `pairs`.
-    # Deriving it from pairs (union of both sides) made the index
-    # self-join + bucket window re-execute once per consumer (~3x per
-    # query — measured 17 scans / 24 shuffles vs 4/9 for the one-shot
-    # form), undoing the recompute savings the serving path exists for.
+    # bound comes straight from the bounded index, NOT from `pairs`
+    # (deriving it from pairs re-executed the candidate subtree once
+    # per consumer — round-9 advice; 17 scans / 24 shuffles, since 7/8).
     touched = bounded.select(F.col("id").alias(id_col)).distinct()
     sh = shingle_docs(
         docs.join(touched, id_col, "left_semi"), id_col, text_col,
