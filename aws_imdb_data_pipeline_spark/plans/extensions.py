@@ -1155,7 +1155,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
     from aws_imdb_data_pipeline_spark.extensions.dedup import (
-        jaccard_on_shingles,
         shingle_docs,
     )
 
