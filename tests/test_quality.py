@@ -148,3 +148,38 @@ def test_observed_metrics_streaming_progress(spark, sf_dir, tmp_path):
     assert batches, "no observed metrics in any micro-batch"
     total = sum(p["observedMetrics"]["metrics"]["n_rows"] for p in batches)
     assert total == ev.count()
+
+
+def test_union_approx_profile_exact_in_categorical_regime(spark, sf_dir):
+    """The dq_profile_union_approx ORACLE (round 10) rests on a claim:
+    every profiled distinct column is a tiny-cardinality categorical
+    where HLL++'s linear-counting estimate equals the true count
+    exactly. Pin that claim in-repo so a changed rsd, a swapped
+    profile column, or a cardinality-grown fixture fails HERE before
+    the external driver sees a hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    cases = [
+        ("orders", ["o_orderpriority", "o_orderstatus"]),
+        ("lineitem", ["l_returnflag"]),
+        ("customer", ["c_mktsegment"]),
+    ]
+    for table, cols in cases:
+        df = load_table(spark, sf_dir, table)
+        row = df.agg(
+            *[F.approx_count_distinct(c).alias(f"a_{c}") for c in cols],
+            *[F.count_distinct(c).alias(f"e_{c}") for c in cols],
+        ).collect()[0]
+        for c in cols:
+            assert row[f"a_{c}"] == row[f"e_{c}"], (
+                f"{table}.{c}: approx {row[f'a_{c}']} != exact "
+                f"{row[f'e_{c}']} — the column left HLL++'s exact "
+                f"regime; move dq_profile_union_approx's oracle to the "
+                f"tolerance form (see its docstring)"
+            )
+            assert row[f"e_{c}"] <= 16, (
+                f"{table}.{c}: cardinality {row[f'e_{c}']} is no longer "
+                f"tiny-categorical — re-justify the exactness claim"
+            )
