@@ -142,11 +142,11 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
            ROUND(SUM(value) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
                AS sum_last_hour,
            CAST(COUNT(*) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
                AS n_last_hour
     FROM events
@@ -157,7 +157,13 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-RANGE frame: per-user trailing-hour running sum/count —
     ordered by epoch seconds with rangeBetween (ROWS frames count
     rows; RANGE frames cover a value interval, the time-series shape).
-    """
+
+    The oracle floors epoch(ts) to WHOLE seconds to mirror Spark's
+    unix_timestamp truncation: DuckDB's raw epoch() keeps fractional
+    seconds, so an event exactly 3600.x s older sat inside Spark's
+    frame but outside DuckDB's — invisible at sf0.01 (no boundary
+    collision in the sample), a real row diff at sf0.1 (found by the
+    round-10 full-parity sweep at every sf)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -181,7 +187,8 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_revenue_by_flag",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice), 4) AS sum_l_extendedprice,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_l_extendedprice,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -193,13 +200,24 @@ def salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt spreads a hot key over 16 reducers in phase 1, phase 2 merges
     partials — results provably equal the plain GROUP BY (this oracle).
     l_returnflag has 3 values over 600k rows: exactly the
-    low-cardinality-hot-key shape that needs salting at 100 TB."""
+    low-cardinality-hot-key shape that needs salting at 100 TB.
+
+    The price is summed as DECIMAL(18,2) on both sides (money
+    semantics): a double sum over 600k values drifts with summation
+    order — salted two-phase vs DuckDB's single pass differed by 2e-4
+    at sf0.1, past any fixed ROUND precision — while the decimal sum
+    is exact and order-independent at every scale. Cast back to double
+    for a stable cross-engine pandas dtype."""
     from aws_imdb_data_pipeline_spark.operators.agg_patterns import salted_aggregate
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("decimal(18,2)")
+    )
     out = salted_aggregate(li, ["l_returnflag"], ["l_extendedprice"], 16)
     return out.select(
         "l_returnflag",
-        F.round("sum_l_extendedprice", 4).alias("sum_l_extendedprice"),
+        F.col("sum_l_extendedprice").cast("double").alias(
+            "sum_l_extendedprice"
+        ),
         "n_rows",
     )
