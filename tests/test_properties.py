@@ -566,3 +566,60 @@ def test_ivm_base_plus_delta_equals_recompute_any_log(spark, ops, cut):
     for g in want:
         assert got[g][0] == want[g][0]
         assert abs(got[g][1] - want[g][1]) < 1e-9
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_docs=st.integers(6, 24),
+    data=st.data(),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_index_serving_equals_one_shot_on_random_corpora(
+    spark, tmp_path_factory, seed, n_docs, data
+):
+    """The artifact-served near-dup path equals the one-shot pipeline
+    on RANDOM corpora, not just the shipped fixture (round-10: the
+    serving rewrite's equivalence claim is the load-bearing invariant
+    behind minhash_dedup_documents' exact-truth oracle). A tiny
+    vocabulary forces heavy shingle collisions — the regime where a
+    broken bucket kernel, a wrong bucket-size cap, or a dropped
+    candidate diverges loudest."""
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        build_minhash_band_index,
+        minhash_dedup_pairs,
+        minhash_pairs_from_index,
+    )
+
+    vocab = ["ab", "cd", "ef", "gh", "ij"]
+    docs_py = []
+    for i in range(n_docs):
+        words = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=12),
+            label=f"doc{i}",
+        )
+        docs_py.append((i, " ".join(words)))
+    docs = spark.createDataFrame(docs_py, "doc_id: long, text: string")
+    path = str(
+        tmp_path_factory.mktemp("bands") / f"idx_{seed}_{n_docs}"
+    )
+    build_minhash_band_index(
+        docs, "doc_id", "text", path, k=3, num_hashes=32, bands=8
+    )
+    served = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_pairs_from_index(
+            docs, path, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    one_shot = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=32, bands=8,
+            threshold=0.5,
+        ).collect()
+    }
+    assert served == one_shot
