@@ -458,10 +458,18 @@ def minhash_pairs_from_index(
     # (deriving it from pairs re-executed the candidate subtree once
     # per consumer — round-9 advice; 17 scans / 24 shuffles, since 7/8).
     touched = bounded.select(F.col("id").alias(id_col)).distinct()
+    # persisted for the same reason minhash_dedup_pairs persists its
+    # shingle table: the verify join consumes it on BOTH pair sides,
+    # and shingle construction dominates when candidates are wide
+    # (degenerate-vocabulary regime: touched ≈ corpus — measured 6.4 s
+    # unpersisted vs 2.4 s persisted at 51k docs, tools/
+    # serving_dedup_probe.py; a single-reference explode/groupBy verify
+    # measured no better than 2-ref, the compute is the shingling).
+    # Size ∝ candidate docs; MEMORY_AND_DISK default at cluster scale.
     sh = shingle_docs(
         docs.join(touched, id_col, "left_semi"), id_col, text_col,
         k=meta["k"],
-    )
+    ).persist()
     verified = jaccard_on_shingles(pairs, sh, id_col, "__shingles")
     return verified.filter(F.col("jaccard") >= threshold)
 
