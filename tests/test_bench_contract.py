@@ -66,7 +66,10 @@ def test_headline_total_inside_budget():
 
     from bench import HEADLINE
 
-    BUDGET_SEC = 14.0
+    BUDGET_SEC = 13.0  # ratcheted from 14.0 (round 10): the shingle-
+    # persist fix measured headline 11.12 s @ calib 0.092 and 10.97 s
+    # @ 0.144 back-to-back; 13.0 = that level at an r9-speed host
+    # (+15%) plus the §38 contention band absorbed by the any-slot rule
     REF_CALIB = 0.19
 
     detail = os.path.join(
