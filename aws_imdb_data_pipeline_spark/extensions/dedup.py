@@ -23,6 +23,36 @@ from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
 
+# Shingle frames persisted inside lazily-returned pipelines
+# (minhash_dedup_pairs, minhash_pairs_from_index). The returned frame
+# is lazy, so the pin cannot be released before the caller consumes it
+# — the pin's lifetime is CALLER-OWNED. Long-lived sessions composing
+# many corpora (bench loops, streaming drivers) should call
+# :func:`release_pinned_shingles` between corpora; one-shot jobs can
+# ignore it (the pin dies with the session).
+_PINNED_SHINGLES: list[DataFrame] = []
+
+
+def release_pinned_shingles() -> int:
+    """Unpersist every shingle frame pinned by the dedup pipelines in
+    this process and return how many were released. Safe to call while
+    earlier results are still referenced — Spark recomputes evicted
+    subtrees — but intended for AFTER the results are consumed."""
+    n = 0
+    while _PINNED_SHINGLES:
+        df = _PINNED_SHINGLES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    _PINNED_SHINGLES.append(df.persist())
+    return df
+
 
 def simhash64(
     df: DataFrame,
@@ -156,6 +186,9 @@ def shingle(text_col: Column | str, k: int = 3, sep: str = " ") -> Column:
     PERF: apply this to an already-materialized words array (see
     ``shingle_docs``) — passing raw text means the split() subtree is
     re-evaluated for every shingle index (quadratic in doc length).
+
+    Texts with fewer than ``k`` words yield an EMPTY array (no partial
+    grams) — matching :func:`shingle_docs`.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.split(c, sep)
@@ -164,7 +197,9 @@ def shingle(text_col: Column | str, k: int = 3, sep: str = " ") -> Column:
     grams = F.transform(
         idx, lambda i: F.concat_ws(sep, F.slice(words, i + 1, k))
     )
-    return F.array_distinct(grams)
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingle_docs(
@@ -172,10 +207,17 @@ def shingle_docs(
     out_col: str = "__shingles",
 ) -> DataFrame:
     """(id, shingle-array) with the words array materialized in its own
-    projection first, so split() runs once per doc, not once per index."""
+    projection first, so split() runs once per doc, not once per index.
+
+    Docs with fewer than ``k`` words emit NO shingles (standard
+    w-shingling: a doc that cannot form a full k-gram has an empty
+    shingle set and can never near-dup pair). Without this filter the
+    ``sequence(0, greatest(n-k, 0))`` index emitted one PARTIAL gram
+    for short docs, so two short duplicates paired in the engine but
+    not in the exact full-k-gram oracle (round-10 advice)."""
     words = docs.select(F.col(id_col), F.split(F.col(text_col), sep).alias("__w"))
-    n = F.size(F.col("__w"))
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    words = words.filter(F.size(F.col("__w")) >= k)
+    idx = F.sequence(F.lit(0), F.size(F.col("__w")) - k)
     grams = F.transform(idx, lambda i: F.concat_ws(sep, F.slice(F.col("__w"), i + 1, k)))
     return (
         words.select(F.col(id_col), F.array_distinct(grams).alias(out_col))
@@ -332,13 +374,15 @@ def minhash_dedup_pairs(
     The shingle table feeds three consumers (signatures + both sides of
     the verify join), so it is persisted; at cluster scale use
     MEMORY_AND_DISK (the default StorageLevel here) and expect it to
-    be ~corpus-sized."""
+    be ~corpus-sized. The pin's lifetime is caller-owned (the returned
+    frame is lazy) — long-lived sessions should call
+    :func:`release_pinned_shingles` after consuming the result."""
     rows_per_band = num_hashes // bands
     # A single-file source arrives as 1 partition; fan out so shingling
     # and hashing use the whole cluster (cheap: rows are narrow text).
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, id_col)
-    sh = shingle_docs(docs, id_col, text_col, k=k).persist()
+    sh = _pin(shingle_docs(docs, id_col, text_col, k=k))
     sig = minhash_signatures(sh, id_col, "__shingles", num_hashes)
     pairs = lsh_candidate_pairs(sig, id_col, "__sig", bands, rows_per_band)
     verified = jaccard_on_shingles(pairs, sh, id_col, "__shingles")
@@ -466,10 +510,13 @@ def minhash_pairs_from_index(
     # serving_dedup_probe.py; a single-reference explode/groupBy verify
     # measured no better than 2-ref, the compute is the shingling).
     # Size ∝ candidate docs; MEMORY_AND_DISK default at cluster scale.
-    sh = shingle_docs(
+    # Caller-owned pin: release via release_pinned_shingles() in
+    # long-lived sessions (round-10 advice — the lazy return means the
+    # pin cannot be dropped here without re-shingling per consumer).
+    sh = _pin(shingle_docs(
         docs.join(touched, id_col, "left_semi"), id_col, text_col,
         k=meta["k"],
-    ).persist()
+    ))
     verified = jaccard_on_shingles(pairs, sh, id_col, "__shingles")
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# One-time flag for the legacy n_vals reconstruction warning below.
+_LEGACY_NVALS_WARNED = False
+
 
 def grouped_state_agg(
     state: DataFrame,
@@ -147,7 +150,23 @@ def maintain_grouped_agg(
         # and non-NULL values AND a later retraction drains the
         # non-null ones (sum then reads 0.0 instead of NULL for that
         # group until it is rebuilt) — documented next to the replay
-        # guard's legacy-checkpoint handling.
+        # guard's legacy-checkpoint handling. Warn once per process so
+        # operators know the view carries reconstructed (approximate)
+        # n_vals until rebuilt (round-10 advice).
+        global _LEGACY_NVALS_WARNED
+        if not _LEGACY_NVALS_WARNED:
+            _LEGACY_NVALS_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "maintain_grouped_agg: base view lacks %r — "
+                "reconstructing non-null value counts from the legacy "
+                "columns. Groups that mixed NULL and non-NULL values "
+                "may report SUM 0.0 instead of NULL after retractions "
+                "drain the non-null values; rebuild the view to clear "
+                "this.",
+                nval_alias,
+            )
         base_agg = base_agg.withColumn(
             nval_alias,
             F.when(F.col(sum_alias).isNull(), F.lit(0)).otherwise(

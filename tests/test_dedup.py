@@ -342,3 +342,53 @@ def test_simhash_served_from_artifact_equals_inline(
         ).collect()
     }
     assert served == inline
+
+
+def test_short_docs_emit_no_shingles_and_never_pair(spark):
+    """Docs with fewer than k words have an empty shingle set (standard
+    w-shingling) — a pair of 2-word duplicates must NOT near-dup pair,
+    matching the exact full-k-gram oracle (round-10 advice: the old
+    sequence(0, greatest(n-k, 0)) emitted one PARTIAL gram)."""
+    from aws_imdb_data_pipeline_spark.extensions import shingle
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, "tiny doc"),
+            (3, "exactly three words"),
+            (4, "exactly three words"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = shingle_docs(docs, "doc_id", "text", k=3)
+    ids = {r.doc_id for r in sh.collect()}
+    assert ids == {3, 4}  # sub-k docs dropped entirely
+
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) not in found
+    assert (3, 4) in found
+
+    # the Column form agrees: empty array below k, never a partial gram
+    col = docs.select(
+        "doc_id", shingle("text", k=3).alias("g")
+    ).collect()
+    by_id = {r.doc_id: r.g for r in col}
+    assert by_id[1] == [] and by_id[3] == ["exactly three words"]
+
+
+def test_release_pinned_shingles_releases_pipeline_pins(spark):
+    """The dedup pipelines pin their shingle frames (caller-owned
+    lifetime); release_pinned_shingles() must unpersist them all and
+    report the count."""
+    from aws_imdb_data_pipeline_spark.extensions import (
+        release_pinned_shingles,
+    )
+
+    release_pinned_shingles()  # drain pins left by earlier tests
+    docs = _corpus(spark)
+    minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    assert release_pinned_shingles() >= 1
+    assert release_pinned_shingles() == 0
