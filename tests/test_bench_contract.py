@@ -84,18 +84,24 @@ def test_headline_total_inside_budget():
     calib = d.get("calib_sec")
     assert calib and calib > 0, "BENCH_DETAIL carries no calib_sec"
 
-    # Evaluate EVERY run in the detail history (last <=3 bench runs:
-    # this round's final pair + the prior round), not just the latest:
-    # a genuine code regression is slow in ALL of them, while a
-    # calib-invisible host-contention draw (the §38 signature —
-    # arithmetic calib steady, scheduler/IO-bound suite +20%; measured
-    # again in round 10, SCALE §40 postscript) poisons only some.
-    # Passing = at least one recorded run fits its budget.
+    # Evaluate the FINAL PAIR only (the two newest recorded runs —
+    # bench runs back-to-back as the round's last act), not the whole
+    # <=3-deep history: the prior round's run predates this round's
+    # code entirely, so letting it satisfy the gate would pass a
+    # regression that landed late in the round against a stale
+    # pre-regression measurement (round-10 verdict #1). Within the
+    # pair, any-of-2 still absorbs a single calib-invisible
+    # host-contention draw (the §38 signature — arithmetic calib
+    # steady, scheduler/IO-bound suite +20%; measured again in round
+    # 10, SCALE §40 postscript), which by construction poisons one
+    # run, not both. A genuine code regression is slow in BOTH.
+    # NOTE: history's last entry IS the current run (bench appends
+    # before writing), so the pair = (times, history[-2]).
     history = d.get("history") or {}
     runs: list[tuple[float, float]] = [(sum(times[n] for n in HEADLINE), calib)]
     k = min((len(history.get(n) or []) for n in HEADLINE), default=0)
-    for i in range(1, k + 1):
-        entries = [history[n][-i] for n in HEADLINE]
+    if k >= 2:  # the other half of the final pair
+        entries = [history[n][-2] for n in HEADLINE]
         calibs = {e.get("calib") for e in entries}
         if len(calibs) == 1 and None not in calibs:  # one coherent run
             runs.append((sum(e["sec"] for e in entries), calibs.pop()))
@@ -103,8 +109,9 @@ def test_headline_total_inside_budget():
         (t, c, BUDGET_SEC * max(c / REF_CALIB, 1.0)) for t, c in runs
     ]
     assert any(t <= allowed for t, _, allowed in verdicts), (
-        f"headline total exceeded budget in EVERY recorded run "
-        f"(total, calib, allowed): {[(round(t, 2), c, round(a, 2)) for t, c, a in verdicts]} "
+        f"headline total exceeded budget in BOTH runs of the final "
+        f"bench pair (total, calib, allowed): "
+        f"{[(round(t, 2), c, round(a, 2)) for t, c, a in verdicts]} "
         f"— a sustained regression, not host noise. Find it with the "
         f"SCALE §27 per-query A/B protocol or justify a budget change "
         f"in SCALE.md §40."
