@@ -419,6 +419,89 @@ def ensure_partsupp_bucketed(
 
 
 @register(
+    "min_cost_supplier_bucketed",
+    oracle="""
+    WITH """ + PARTSUPP_SQL + """,
+    eligible AS (
+        SELECT p_partkey, ps_supplycost, s_name, n_name, s_acctbal
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, ps_supplycost AS min_cost, s_name, n_name, s_acctbal
+    FROM eligible e
+    WHERE ps_supplycost = (
+        SELECT MIN(ps_supplycost) FROM eligible i
+        WHERE i.p_partkey = e.p_partkey
+    )
+    """,
+    operators=("J1", "A3", "P2", "SQ-correlated", "S-bucketed"),
+)
+def min_cost_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 over the MATERIALIZED bucketed partsupp (the
+    important_stock_bucketed treatment applied to the second shape
+    whose only exchange is keyed by ps_partkey): same rows and oracle
+    as `min_cost_supplier`, but the min-cost aggregate groups on the
+    BUCKETED side's ps_partkey, so the hash(ps_partkey) distribution
+    comes straight from the bucketed scan and the plan has NO Exchange
+    at all — dimension sides broadcast, the per-part min re-joins as a
+    broadcast. One bucketed write amortizes across every
+    partsupp-keyed shape, which is the point of bucketing a 100 TB
+    fact table."""
+    table = ensure_partsupp_bucketed(spark, sf_dir)
+    ps = spark.table(table)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    # keep the BUCKETED key through the aggregate: grouping on
+    # ps_partkey (not the part side's equivalent p_partkey) reads the
+    # scan's hash distribution without relying on join-key equivalence
+    # propagation
+    eligible = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "n_name", "s_acctbal")
+    )
+    min_cost = (
+        eligible.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost").alias("__min"))
+        .select(F.col("ps_partkey").alias("__pk"), "__min")
+    )
+    return (
+        eligible.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("__pk"))
+            & (F.col("ps_supplycost") == F.col("__min")),
+        )
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("ps_supplycost").alias("min_cost"),
+            "s_name",
+            "n_name",
+            "s_acctbal",
+        )
+    )
+
+
+@register(
     "important_stock_bucketed",
     oracle=_Q11_SQL,
     operators=("A1", "J1", "SQ-scalar", "A-having", "S-bucketed"),

@@ -544,7 +544,8 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -556,7 +557,13 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the naive formulation unions three scans. Spark's SQL
     GROUPING SETS and the DataFrame groupingSets() both plan the same
     Expand; the SQL text form is used so the catalog surface matches
-    the reference's dialect layer."""
+    the reference's dialect layer.
+
+    Money is summed as DECIMAL(18,2) (the salted_revenue_by_flag
+    policy): the grand-total grouping set sums EVERY order, and at sf1
+    (1.5M rows, ~4e11 total) a double sum's order drift exceeded
+    ROUND(_, 4) — the first divergence the round-11 sf1 sweep caught.
+    The exact decimal casts to DOUBLE only at the output edge."""
     from aws_imdb_data_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir, tables=("orders",))
@@ -564,7 +571,8 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -621,16 +629,26 @@ def segment_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lineitem_charge_unpivot",
     oracle="""
-    SELECT l_returnflag, component, ROUND(SUM(amount), 4) AS total
+    SELECT l_returnflag, component,
+           CAST(SUM(amount) AS DOUBLE) AS total
     FROM (
         SELECT l_returnflag, 'base' AS component,
-               l_extendedprice AS amount FROM lineitem
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    AS DECIMAL(30,6)) AS amount
+        FROM lineitem
         UNION ALL
         SELECT l_returnflag, 'discount',
-               -(l_extendedprice * l_discount) FROM lineitem
+               CAST(-(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(4,2)))
+                    AS DECIMAL(30,6))
+        FROM lineitem
         UNION ALL
         SELECT l_returnflag, 'tax',
-               l_extendedprice * (1.0 - l_discount) * l_tax FROM lineitem
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * CAST(l_tax AS DECIMAL(4,2))
+                    AS DECIMAL(30,6))
+        FROM lineitem
     )
     GROUP BY l_returnflag, component
     """,
@@ -640,16 +658,28 @@ def lineitem_charge_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charge decomposition: derive base/discount/tax amount columns,
     unpivot() them wide-to-long (one Expand, no self-union triple
     scan — the oracle spells out the UNION ALL it replaces), then
-    aggregate per (returnflag, component)."""
+    aggregate per (returnflag, component).
+
+    All three amounts are EXACT decimals (price 2dp, x discount 2dp,
+    x tax 2dp — scales add under multiplication, nothing rounds):
+    DECIMAL(30,6) is the unpivot's common type, the sum is exact and
+    order-invariant, and only the output edge casts to DOUBLE. The
+    double formulation's ROUND(SUM, 4) drifted at sf1 (6M rows — the
+    round-11 sweep's second catch, same class as SCALE §42)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.col("l_extendedprice").alias("base"),
-        (-(F.col("l_extendedprice") * F.col("l_discount"))).alias("discount"),
-        (
-            F.col("l_extendedprice")
-            * (F.lit(1.0) - F.col("l_discount"))
-            * F.col("l_tax")
-        ).alias("tax"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("__p"),
+        F.col("l_discount").cast("decimal(4,2)").alias("__d"),
+        F.col("l_tax").cast("decimal(4,2)").alias("__t"),
+    ).select(
+        "l_returnflag",
+        F.col("__p").cast("decimal(30,6)").alias("base"),
+        (-(F.col("__p") * F.col("__d"))).cast("decimal(30,6)").alias(
+            "discount"
+        ),
+        (F.col("__p") * (F.lit(1) - F.col("__d")) * F.col("__t"))
+        .cast("decimal(30,6)")
+        .alias("tax"),
     )
     long = li.unpivot(
         ids=["l_returnflag"],
@@ -658,5 +688,5 @@ def lineitem_charge_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="amount",
     )
     return long.groupBy("l_returnflag", "component").agg(
-        F.round(F.sum("amount"), 4).alias("total")
+        F.sum("amount").cast("double").alias("total")
     )

@@ -432,3 +432,29 @@ def test_plan_audit_covers_entire_registry():
         f"missing={sorted(registered - audited)} "
         f"extra={sorted(audited - registered)}"
     )
+
+
+def test_bucketed_q2_no_exchange_anywhere(spark, sf_dir):
+    """min_cost_supplier_bucketed must have ZERO Exchange: the
+    min-cost aggregate reads the bucketed scan's hash(ps_partkey)
+    distribution, every other side broadcasts (BroadcastExchange is
+    the intended transport — only shuffle exchanges are banned).
+    Row-parity with the synthesized twin pins the rewrite."""
+    from aws_imdb_data_pipeline_spark.plans import REGISTRY
+
+    plan_b = (
+        REGISTRY["min_cost_supplier_bucketed"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan_b, plan_b
+    assert "Bucketed: true" in plan_b, plan_b
+
+    rows_b = sorted(
+        tuple(r)
+        for r in REGISTRY["min_cost_supplier_bucketed"].fn(spark, sf_dir).collect()
+    )
+    rows_s = sorted(
+        tuple(r)
+        for r in REGISTRY["min_cost_supplier"].fn(spark, sf_dir).collect()
+    )
+    assert rows_b == rows_s and len(rows_b) > 0
