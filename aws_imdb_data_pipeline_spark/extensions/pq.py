@@ -231,6 +231,10 @@ def build_pq_index(
         "codebooks": codebooks,
         "centers": centers,
         "fingerprint": fingerprint,
+        # serving reads this to scale its re-rank shortlist with the
+        # corpus (see cosine_topk_ivf_pq_from_index); metadata-only
+        # count, free at build time
+        "n_vectors": candidates.count(),
     }
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -385,11 +389,32 @@ def cosine_topk_ivf_pq_from_index(
     refine: bool = True,
     refine_factor: int = 4,
     round_to: int | None = 4,
+    auto_scale: bool = True,
+    scale_baseline: int = 2000,
 ) -> DataFrame:
     """Serve IVF-PQ top-k from a :func:`build_pq_index` artifact — no
     training, no encoding: read codes from the probed ``__list``
-    partitions, ADC-score, exact-cosine re-rank the shortlist."""
+    partitions, ADC-score, exact-cosine re-rank the shortlist.
+
+    ``auto_scale`` (default on) grows the exact-re-rank shortlist
+    linearly with the indexed corpus: with 4-bit-per-sub ADC noise on
+    weakly-structured vectors, the number of candidates whose
+    ESTIMATED score beats the true top-k grows ~linearly in N, so a
+    fixed ``refine_factor*k`` shortlist that gives 0.3-0.6 recall at
+    2k vectors decays below any floor by 20k (the round-11 sf1 sweep
+    caught exactly this: recall_ge_floor flipped false at 10x). The
+    effective factor is ``refine_factor * max(1, N / scale_baseline)``
+    — identical at every shipped sf (N <= baseline), linear above.
+    Re-rank cost stays negligible (shortlist*dim mults per query); at
+    the scale where it wouldn't, the right knob is more code bits,
+    not a wider shortlist. N comes from the index meta (older indexes
+    without it: one metadata-only parquet count)."""
     index_df, meta = load_pq_index(spark, path)
+    if auto_scale:
+        n_vec = meta.get("n_vectors") or index_df.count()
+        refine_factor = refine_factor * max(
+            1, (n_vec + scale_baseline - 1) // scale_baseline
+        )
     cand = index_df.select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("__cv"),

@@ -392,7 +392,8 @@ def distinct_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
         SELECT 'orders' AS dataset, COUNT(*) AS row_count,
-               ROUND(SUM(o_totalprice), 4) AS sum_totalprice
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_totalprice
         FROM orders
     )
     UNION ALL BY NAME
@@ -406,12 +407,20 @@ def distinct_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of differently-shaped one-row profiles, missing columns →
-    NULL — exactly the reference's DQ union sink (glue.py:347-350)."""
+    NULL — exactly the reference's DQ union sink (glue.py:347-350).
+
+    Money sums as exact DECIMAL(18,2), double at the output edge only
+    (the salted_revenue policy): the grand total over orders drifted
+    past ROUND(_, 4) at sf1 — round-11 sweep catch, same class as
+    SCALE §42. l_quantity stays a plain double SUM: integers 1-50 sum
+    exactly in binary far beyond any realistic N."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     p1 = orders.agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_totalprice"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_totalprice"),
     ).select(F.lit("orders").alias("dataset"), "*")
     p2 = li.agg(
         F.count(F.lit(1)).alias("row_count"),
