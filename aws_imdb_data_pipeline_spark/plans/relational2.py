@@ -167,7 +167,8 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sales_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -177,10 +178,17 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via rollup — absent from the reference
     (its 'rollups' are plain groupBys, glue.py:299-308) but a standard
-    engine capability; one pass, partial aggregation per grouping set."""
+    engine capability; one pass, partial aggregation per grouping set.
+
+    Money sums exactly as DECIMAL(18,2), double at the output edge
+    (the grand-total grouping set covers every lineitem row, where a
+    double ROUND(SUM) drifted at sf1 — round-11 sweep, SCALE §42/§43
+    class)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -193,17 +201,24 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 4) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     operators=("A13",),
 )
 def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority); money summed exactly as
+    DECIMAL(18,2) and cast to double at the output edge only — the
+    all-groups cell drifted past ROUND(_, 4) at sf1 (round-11 sweep,
+    same class as sales_rollup)."""
     li = load_table(spark, sf_dir, "orders")
     return li.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
     )
 
 

@@ -238,11 +238,13 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             SUM(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1998-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
@@ -251,15 +253,26 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-revenue supplier for 1998Q1. The scalar MAX subquery becomes
     a 1-row broadcast cross join against the per-supplier aggregate —
-    no global window, no second scan of lineitem. The equality filter
-    runs on each engine's own unrounded sums (both engines aggregate
-    identical doubles; only the reported value is rounded)."""
+    no global window, no second scan of lineitem.
+
+    Revenue sums exactly as DECIMAL (price 2dp x (1 - discount 2dp) is
+    an exact 4dp product): the argmax EQUALITY needs the aggregate to
+    be re-evaluation-stable — at sf1 the oracle's double sum drifted
+    BETWEEN the CTE's two evaluations (revenue vs the scalar MAX
+    subquery re-running it under different parallel order), so its own
+    max matched no row and it returned 0 rows (round-11 sweep). An
+    exact decimal sum is order-invariant, so the equality — and the
+    cross-engine value after the output-edge double cast — is
+    deterministic at any N."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-04-01")
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue()).alias("total_revenue")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     best = revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx")).drop(
@@ -267,7 +280,11 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(F.broadcast(supp), best.supplier_no == supp.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
     )
 
 
