@@ -439,7 +439,15 @@ def embedding_near_dup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     production seed while background pairs top out at cosine 0.60, so
     the approximate path reproduces the exact answer and a full SQL
     oracle (not rows-only) checks it — precision AND recall = 1 here,
-    asserted independently in tests/test_similarity.py."""
+    asserted independently in tests/test_similarity.py.
+
+    SCOPE (round 11, SCALE §43): recall-1.0 is a measured property of
+    the SHIPPED corpora+seed, not a guarantee — sign-LSH band
+    collision is probabilistic (~0.5% miss per planted pair at the
+    auto-chosen params), and the generated-sf0.3 sweep drew exactly
+    one miss (1 of 600 planted twins, cosine 0.9088, zero false
+    positives). On non-pinned corpora the contract is
+    embedding_lsh_neardup_check's recall floor, which stayed green."""
     emb = load_table(spark, sf_dir, "embeddings")
     aug = augment_with_near_dups(emb, "vec_id", "embedding", every=10, eps=0.2)
     return embedding_near_dup_pairs_lsh(
