@@ -47,11 +47,16 @@ def test_minhash_on_empty_and_blank_docs(spark):
     from aws_imdb_data_pipeline_spark.extensions import minhash_dedup_pairs
 
     docs = spark.createDataFrame(
-        [(1, ""), (2, "one two"), (3, "one two")], ["doc_id", "text"]
+        [(1, ""), (2, "one two"), (3, "one two"), (4, "one two three x"),
+         (5, "one two three x")],
+        ["doc_id", "text"],
     )
     pairs = minhash_dedup_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
-    # blank doc contributes nothing; identical short docs match
-    assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
+    # blank doc contributes nothing; sub-k docs (2 words < k=3) emit NO
+    # shingles and never pair (standard w-shingling — the round-10
+    # advice fix: the old partial gram paired (2, 3) in the engine but
+    # not in the full-k-gram oracle); identical >=k-word docs match
+    assert {(r.id_a, r.id_b) for r in pairs} == {(4, 5)}
 
     none_docs = spark.createDataFrame([], "doc_id long, text string")
     assert minhash_dedup_pairs(none_docs, "doc_id", "text").count() == 0
