@@ -211,16 +211,24 @@ def shingle_docs(
 
     Docs with fewer than ``k`` words emit NO shingles (standard
     w-shingling: a doc that cannot form a full k-gram has an empty
-    shingle set and can never near-dup pair). Without this filter the
+    shingle set and can never near-dup pair). Without this guard the
     ``sequence(0, greatest(n-k, 0))`` index emitted one PARTIAL gram
     for short docs, so two short duplicates paired in the engine but
-    not in the exact full-k-gram oracle (round-10 advice)."""
+    not in the exact full-k-gram oracle (round-10 advice). The guard
+    is a ``when`` INSIDE the shingle projection, not a row filter
+    between the two projections — a filter there re-inlines split()
+    into its own condition and the scan, re-tokenizing every doc
+    twice (measured 1.81 -> 3.10 s on corpus_contamination); the
+    empty-when rows are dropped by the existing size-0 filter."""
     words = docs.select(F.col(id_col), F.split(F.col(text_col), sep).alias("__w"))
-    words = words.filter(F.size(F.col("__w")) >= k)
-    idx = F.sequence(F.lit(0), F.size(F.col("__w")) - k)
+    n = F.size(F.col("__w"))
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(sep, F.slice(F.col("__w"), i + 1, k)))
+    out = F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
-        words.select(F.col(id_col), F.array_distinct(grams).alias(out_col))
+        words.select(F.col(id_col), out.alias(out_col))
         .filter(F.size(out_col) > 0)
     )
 
