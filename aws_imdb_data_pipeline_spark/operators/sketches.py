@@ -149,3 +149,68 @@ def cms_estimate(
         *[F.coalesce(F.col(f"__c{d}"), F.lit(0)) for d in range(depth)]
     )
     return out.select(key_col, est.alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bitmap partials — EXACT mergeable distinct over integer keys
+# ---------------------------------------------------------------------------
+
+BITMAP_COL = "bitmap"
+BITMAP_BUCKET_COL = "bitmap_bucket"
+
+
+def bitmap_partials(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """EXACT complement to :func:`partition_sketches`: one ≤4 KB bitmap
+    per (key group, 32768-value bucket) of ``value_col`` — built with
+    Spark's ``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` (Spark >= 3.5). Where the HLL sketch
+    answers later distinct questions within ~1.6%, the bitmap partial
+    answers them EXACTLY, at a cost proportional to the value domain
+    (one 4 KB page per 32 768 possible values actually present) instead
+    of a fixed few KB. The right artifact when the distinct column is a
+    bounded integer surrogate key (user ids, part keys) and the rollup
+    must reconcile to the penny.
+
+    Like the HLL partials, bitmaps are commutative/associative: OR-ing
+    the stored pages re-derives any slice union without rescanning the
+    fact. One shuffle; partial bitmaps merge map-side.
+
+    ``value_col`` must be integral; NULLs are ignored (matching
+    COUNT(DISTINCT) semantics) and ``n_rows`` counts non-null values so
+    the partial reconciles with COUNT(value_col)."""
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols,
+        F.bitmap_bucket_number(value_col).alias(BITMAP_BUCKET_COL),
+        F.bitmap_bit_position(value_col).alias("__pos"),
+    )
+    return vals.groupBy(*key_cols, BITMAP_BUCKET_COL).agg(
+        F.bitmap_construct_agg("__pos").alias(BITMAP_COL),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def bitmap_distinct(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    count_col: str = "distinct_exact",
+) -> DataFrame:
+    """Merge stored bitmap partials — all of them, or per
+    ``group_cols`` — and emit the EXACT distinct count of the union.
+    Two tiny aggregations over the KB-sized partial table: OR per
+    (group, bucket), then sum of per-bucket popcounts. Never touches
+    the raw data."""
+    merged = (
+        partials.groupBy(*(group_cols or []), BITMAP_BUCKET_COL).agg(
+            F.bitmap_or_agg(BITMAP_COL).alias(BITMAP_COL),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+    g = merged.groupBy(*group_cols) if group_cols else merged.groupBy()
+    return g.agg(
+        F.sum(F.bitmap_count(BITMAP_COL)).cast("long").alias(count_col),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )

@@ -252,3 +252,84 @@ def cms_user_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         (F.col("estimate") - F.col("true_count")).alias("overestimate"),
     )
+
+
+@register(
+    "bitmap_distinct_users_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(DISTINCT user_id) AS distinct_exact,
+           COUNT(user_id) AS n_rows
+    FROM events
+    GROUP BY 1
+    """,
+    operators=("EXT-sketch", "A4", "A1"),
+)
+def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct via bitmap partials
+    (operators/sketches.py:bitmap_partials): partial bitmaps are built
+    at (day, event_type) grain — the slices an ingest job would write
+    one at a time — then OR-merged up to day WITHOUT rescanning the
+    fact, and the popcount is the exact per-day distinct user count.
+    The exact complement of incremental_distinct_customers' HLL
+    estimate, for bounded-integer key domains where the rollup must
+    reconcile exactly; the oracle pins every value, not a tolerance
+    band. Two tiny shuffles over KB-sized bitmap pages after the one
+    partial-build shuffle."""
+    from aws_imdb_data_pipeline_spark.operators.sketches import (
+        bitmap_distinct,
+        bitmap_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    partials = bitmap_partials(ev, ["day", "event_type"], "user_id")
+    return bitmap_distinct(partials, ["day"])
+
+
+@register(
+    "bitmap_distinct_windows",
+    oracle="""
+    SELECT 'all' AS win,
+           COUNT(DISTINCT user_id) AS distinct_exact,
+           COUNT(user_id) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 'first_half' AS win,
+           COUNT(DISTINCT user_id) AS distinct_exact,
+           COUNT(user_id) AS n_rows
+    FROM events
+    WHERE date_trunc('day', ts) < TIMESTAMP '2024-01-16'
+    """,
+    operators=("EXT-sketch", "A4", "U1"),
+)
+def bitmap_distinct_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artifact-reuse story for the bitmap partials: ONE per-day
+    partial table answers BOTH a global and a date-windowed distinct
+    exactly, by filtering the KB-sized partials on their day key and
+    re-merging. In production the partial table is written as a
+    parquet side artifact (the HLL pattern above), so every later
+    "distinct users over window W" is a millisecond OR over a few
+    pages; here the frame is recomputed per leg rather than pinned —
+    see SCALE §44 for why queries avoid leaving persists behind.
+    Window predicate is on the partial's own grain (whole days), so
+    the filter is exact."""
+    from aws_imdb_data_pipeline_spark.operators.sketches import (
+        bitmap_distinct,
+        bitmap_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    partials = bitmap_partials(ev, ["day"], "user_id")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    out = (
+        bitmap_distinct(partials, []).select(F.lit("all").alias("win"), "*")
+    ).unionByName(
+        bitmap_distinct(partials.filter(F.col("day") < cut), []).select(
+            F.lit("first_half").alias("win"), "*"
+        )
+    )
+    return out
