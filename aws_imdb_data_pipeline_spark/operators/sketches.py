@@ -202,15 +202,19 @@ def bitmap_distinct(
     ``group_cols`` — and emit the EXACT distinct count of the union.
     Two tiny aggregations over the KB-sized partial table: OR per
     (group, bucket), then sum of per-bucket popcounts. Never touches
-    the raw data."""
-    merged = (
-        partials.groupBy(*(group_cols or []), BITMAP_BUCKET_COL).agg(
-            F.bitmap_or_agg(BITMAP_COL).alias(BITMAP_COL),
-            F.sum("n_rows").alias("n_rows"),
-        )
+    the raw data.
+
+    ``n_rows`` is carried through when present; partials that dropped
+    it (the streaming state, where a replayed batch must not
+    double-count — OR is idempotent, a sum is not) aggregate the
+    bitmaps alone."""
+    has_rows = "n_rows" in partials.columns
+    merged = partials.groupBy(*(group_cols or []), BITMAP_BUCKET_COL).agg(
+        F.bitmap_or_agg(BITMAP_COL).alias(BITMAP_COL),
+        *([F.sum("n_rows").alias("n_rows")] if has_rows else []),
     )
     g = merged.groupBy(*group_cols) if group_cols else merged.groupBy()
     return g.agg(
         F.sum(F.bitmap_count(BITMAP_COL)).cast("long").alias(count_col),
-        F.sum("n_rows").cast("long").alias("n_rows"),
+        *([F.sum("n_rows").cast("long").alias("n_rows")] if has_rows else []),
     )

@@ -1076,3 +1076,90 @@ def test_stream_dsir_weights_match_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert got_df.select("batch_id").distinct().count() >= 2
+
+
+def test_stream_distinct_bitmaps_exact_and_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Streaming exact distinct (streaming/distinctserve.py): events
+    arriving in micro-batches maintain per-day bitmap pages whose
+    popcount equals the from-scratch COUNT(DISTINCT) at every grain;
+    a genuine at-least-once replay leaves the state byte-identical
+    (marker skip — and even without it the OR merge is idempotent),
+    and a different stream claiming the state dir fails loudly."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+    from aws_imdb_data_pipeline_spark.streaming.distinctserve import (
+        current_distinct,
+        stream_distinct_bitmaps,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    split = "2024-01-15"
+    feed = str(tmp_path / "feed")
+    ev.filter(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.parquet(feed)
+    ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(feed)
+
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = stream_distinct_bitmaps(
+            stream, state, ckpt,
+            key_cols=["day"], value_col="user_id",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    marker1 = json.load(open(os.path.join(state, "_latest.json")))
+    assert marker1["batch_id"] >= 1  # delta-merge path exercised
+
+    got = {
+        r.day: r.distinct_exact
+        for r in current_distinct(spark, state, ["day"]).collect()
+    }
+    want = {
+        r.day: r.d
+        for r in ev.groupBy("day")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == want
+    # global rollup from the same pages, no re-grouping of raw data
+    total = current_distinct(spark, state).first().distinct_exact
+    assert total == ev.select("user_id").distinct().count()
+
+    # at-least-once replay: crash between state write and checkpoint
+    # commit, restart with the SAME checkpoint — state byte-untouched
+    mtime = os.stat(os.path.join(state, "_latest.json")).st_mtime_ns
+    _delete_commit(str(tmp_path / "ckpt1"), marker1["batch_id"])
+    run(str(tmp_path / "ckpt1"))
+    assert os.stat(os.path.join(state, "_latest.json")).st_mtime_ns == mtime
+    got2 = {
+        r.day: r.distinct_exact
+        for r in current_distinct(spark, state, ["day"]).collect()
+    }
+    assert got2 == got
+
+    # a DIFFERENT stream (fresh checkpoint, ids restart at 0) must be
+    # refused rather than silently dropped
+    import pytest
+
+    with pytest.raises(Exception, match="different stream"):
+        run(str(tmp_path / "ckpt2"))
