@@ -199,3 +199,60 @@ def merge_dfl(base_dfl: DataFrame, delta_dfl: DataFrame) -> DataFrame:
             + F.coalesce(F.col("__dcf"), F.lit(0))
         ).alias("cf"),
     )
+
+
+def retract_dfl(
+    base_dfl: DataFrame,
+    tfl: DataFrame,
+    deleted: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deletion propagation (right-to-be-forgotten) for the vocabulary
+    frame: subtract the deleted documents' per-term (df, cf) from the
+    base vocabulary and drop terms whose df reaches zero. The deleted
+    docs' term counts come FROM THE ARTIFACT'S OWN ``tfl`` ROWS — a
+    semi-join against the deletion list — so a retraction never
+    re-reads or re-tokenizes the corpus, exactly like the additive
+    :func:`merge_dfl` never does. df/cf are mergeable in both
+    directions; retract(merge(base, d), d) == base, and
+    retract-then-serve equals rebuild-then-serve (pinned exactly by
+    tests/test_tokenindex.py).
+
+    Cost: one semi-join on the deletion list + one vocabulary-sized
+    outer merge — O(deleted docs' tf rows + vocabulary) at any corpus
+    size."""
+    gone = tfl.join(
+        deleted.select(id_col).distinct(), id_col, "left_semi"
+    )
+    ddfl = gone.groupBy("lword").agg(
+        F.count(F.lit(1)).alias("__ddf"), F.sum("tf").alias("__dcf")
+    )
+    return (
+        base_dfl.join(ddfl, "lword", "left")
+        .select(
+            "lword",
+            (F.col("df") - F.coalesce(F.col("__ddf"), F.lit(0))).alias("df"),
+            (F.col("cf") - F.coalesce(F.col("__dcf"), F.lit(0))).alias("cf"),
+        )
+        .filter(F.col("df") > 0)
+    )
+
+
+def retract_scalars(
+    tfl: DataFrame, deleted: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The (n_docs_gone, sum_dl_gone) deltas for the artifact's marker
+    scalars, derived from the artifact's own tfl rows. A deleted doc
+    with ZERO tokens has no tfl rows and is invisible here — callers
+    deleting such docs must adjust n_docs from their doc registry
+    (the lake manifest); dl and every term count are 0 for it, so all
+    frame retractions are unaffected."""
+    per_doc = (
+        tfl.join(deleted.select(id_col).distinct(), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.first("dl").alias("dl"))
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs_gone"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl_gone"),
+    )

@@ -519,3 +519,62 @@ def token_stats_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("df").cast("bigint").alias("df"),
         F.col("cf").cast("bigint").alias("cf"),
     )
+
+
+@register(
+    "token_stats_retraction",
+    oracle=r"""
+    WITH kept AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+    ),
+    toks AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   w -> w <> '')) AS lword
+        FROM kept
+    ),
+    tf AS (
+        SELECT lword, COUNT(*) AS cf FROM toks GROUP BY lword
+    ),
+    dfq AS (
+        SELECT lword, COUNT(DISTINCT doc_id) AS df FROM (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '')) AS lword
+            FROM kept) GROUP BY lword
+    )
+    SELECT lword, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+    FROM tf JOIN dfq USING (lword)
+    """,
+    operators=("EXT-tokenstats", "A3", "J1", "P2"),
+)
+def token_stats_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation through the token-stats artifact: a
+    right-to-be-forgotten list (every 37th document) is retracted from
+    the persisted vocabulary by SUBTRACTING the deleted docs' per-term
+    (df, cf) — computed from the artifact's own tfl rows via one
+    semi-join, never a corpus re-tokenize — and dropping terms whose
+    df reaches zero (extensions.tokenindex.retract_dfl). df/cf are
+    mergeable in both directions, so retracted-counts ==
+    rebuild-from-remaining-counts exactly; the oracle verifies that
+    identity by recomputing the surviving corpus's vocabulary from
+    scratch. The tf side is a plain anti-join (row deletion).
+
+    Scale: per-deletion cost is O(deleted docs' tf rows + vocabulary)
+    — at 100 TB a GDPR batch touches KB-to-MB of artifact, not the
+    corpus."""
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import (
+        retract_dfl,
+        token_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    deleted = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
+    ts = token_stats(spark, sf_dir)
+    out = retract_dfl(ts.dfl(), ts.tfl(), deleted)
+    return out.select(
+        "lword",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("cf").cast("bigint").alias("cf"),
+    )

@@ -164,3 +164,69 @@ def test_incremental_merge_equals_full_rebuild(spark, sf_dir, tmp_path, monkeypa
     assert merged == want
     # the brand-new term entered with batch-only counts
     assert merged["zzz-new-token"] == (1, 2)
+
+
+def test_retraction_equals_rebuild_from_remaining(spark):
+    """retract_dfl subtracts deleted docs' counts FROM THE ARTIFACT'S
+    OWN tfl rows and must equal a from-scratch vocabulary over the
+    surviving docs — including dropping a term whose df hits zero
+    (doc 3 is the only holder of 'unique')."""
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import (
+        batch_token_stats,
+        retract_dfl,
+        retract_scalars,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta beta gamma"),
+            (1, "alpha gamma gamma"),
+            (2, "beta delta"),
+            (3, "unique alpha"),
+            (4, "delta delta Alpha"),
+        ],
+        ["doc_id", "text"],
+    )
+    tfl, dfl = batch_token_stats(docs)
+    deleted = spark.createDataFrame([(1,), (3,)], ["doc_id"])
+
+    got = retract_dfl(dfl, tfl, deleted)
+    _rtfl, want = batch_token_stats(
+        docs.join(deleted, "doc_id", "left_anti")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert "unique" not in {r.lword for r in got.collect()}
+
+    scal = retract_scalars(tfl, deleted).first()
+    assert scal.n_docs_gone == 2
+    assert scal.sum_dl_gone == 3 + 2  # doc 1 has 3 tokens, doc 3 has 2
+
+
+def test_retraction_inverts_merge(spark):
+    """retract(merge(base, delta), delta-ids) == base — df/cf are
+    mergeable in both directions."""
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import (
+        batch_token_stats,
+        merge_dfl,
+        retract_dfl,
+    )
+
+    base_docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d"), (2, "c d e")], ["doc_id", "text"]
+    )
+    new_docs = spark.createDataFrame(
+        [(10, "a a z"), (11, "e z z")], ["doc_id", "text"]
+    )
+    b_tfl, b_dfl = batch_token_stats(base_docs)
+    n_tfl, n_dfl = batch_token_stats(new_docs)
+    merged = merge_dfl(b_dfl, n_dfl)
+    merged_tfl = b_tfl.unionByName(n_tfl)
+
+    back = retract_dfl(
+        merged, merged_tfl, new_docs.select("doc_id")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, b_dfl.collect())
+    )
