@@ -392,3 +392,45 @@ def test_release_pinned_shingles_releases_pipeline_pins(spark):
     minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).count()
     assert release_pinned_shingles() >= 1
     assert release_pinned_shingles() == 0
+
+
+def test_band_index_deletion_equals_rebuild(spark, tmp_path):
+    """Deletion propagation for the band index: per-doc MinHash
+    signatures are independent, so retracting a right-to-be-forgotten
+    list is a row FILTER on the persisted (band, bucket, id) rows —
+    bit-identical to rebuilding the index over the surviving corpus.
+    (The token-stats artifact needs arithmetic retraction —
+    extensions.tokenindex.retract_dfl; the band index only needs
+    this filter, which is why no dedicated operator exists.)"""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.dedup import (
+        build_minhash_band_index,
+    )
+
+    docs = _corpus(spark)
+    deleted = spark.createDataFrame(
+        [(0,), (5,), (101,)], ["doc_id"]
+    )
+
+    full_path = str(tmp_path / "full")
+    build_minhash_band_index(docs, "doc_id", "text", full_path)
+    kept_path = str(tmp_path / "kept")
+    build_minhash_band_index(
+        docs.join(deleted, "doc_id", "left_anti"),
+        "doc_id",
+        "text",
+        kept_path,
+    )
+
+    filtered = (
+        spark.read.parquet(full_path + "/bands")
+        .join(deleted.withColumnRenamed("doc_id", "id"), "id", "left_anti")
+        .select("id", "bucket", "band")
+    )
+    rebuilt = spark.read.parquet(kept_path + "/bands").select(
+        "id", "bucket", "band"
+    )
+    assert sorted(map(tuple, filtered.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
