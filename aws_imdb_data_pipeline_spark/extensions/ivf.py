@@ -230,3 +230,66 @@ def cosine_topk_ivf(
         order_by=[F.desc("cosine"), F.col("neighbor_id")],
         n=k,
     )
+
+
+def assign_to_centroids(
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers: list[list[float]],
+) -> DataFrame:
+    """Assign NEW vectors to FROZEN centroids — the incremental
+    maintenance path for a persisted IVF index: nightly embedding
+    batches join the index by a single-pass argmin against the
+    existing coarse quantizer, with NO re-train and NO touch of the
+    indexed corpus (the same batch-vs-artifact shape as
+    dedup.incremental_near_dup_pairs and tokenindex.merge_dfl).
+
+    The centroids are inlined as plan literals, every per-centroid
+    squared distance is one zip_with/aggregate fold, and the cell id
+    is array_position(array_min) — first-minimum, so ties break to
+    the lowest list id deterministically. Zero shuffles, zero Python,
+    whole-stage codegen; at 100 TB this is an embarrassingly parallel
+    projection over the batch only. Returns (id_col, __arr, __list),
+    the shape build_ivf_assignments emits, so every consumer accepts
+    the union of old index + appended batch unchanged."""
+    def _d2(c: list[float]) -> F.Column:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("__arr"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(*[_d2(c) for c in centers])
+    return (
+        batch.select(F.col(id_col), _to_double(vec_col).alias("__arr"))
+        .withColumn(
+            "__list",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    )
+
+
+def ivf_append(
+    batch: DataFrame,
+    path: str,
+    meta: dict,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Append a new vector batch to a persisted :func:`build_ivf_index`
+    artifact: assign against the artifact's frozen centroids and
+    parquet-append into the ``__list`` partition layout. Deletion is
+    the mirror image — an anti-join rewrite of the affected
+    partitions (per-vector rows are independent, like the band
+    index). Centroids drift as the corpus grows; the recall checks
+    are the rebuild trigger, not a row count."""
+    import os as _os
+
+    assigned = assign_to_centroids(batch, id_col, vec_col, meta["centers"])
+    assigned.select(
+        F.col(id_col).alias("id"), F.col("__arr").alias("vec"), "__list"
+    ).write.mode("append").partitionBy("__list").parquet(
+        _os.path.join(path, "vectors")
+    )

