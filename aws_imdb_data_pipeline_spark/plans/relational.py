@@ -27,6 +27,32 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
+def money_sum_cents(expr: F.Column, scale: int) -> F.Column:
+    """Portable EXACT money sum, long-fixed-point form: per row,
+    ``round(expr * scale)`` recovers the exact integer fixed-point
+    value (the double carries the decimal value to within ~1e-10 of
+    its true <= 4dp amount, both engines compute the IDENTICAL IEEE
+    product, and round() has half-a-unit of slack), the int64 sum is
+    exact and order-invariant, and the final ``/ scale`` divides
+    identical operands — bitwise-identical doubles in both engines at
+    any magnitude. Oracle twin:
+    ``SUM(CAST(ROUND(x * scale, 0) AS BIGINT)) / scale.0``.
+
+    Chosen over the decimal accumulator for HOT aggregates: long adds
+    A/B'd 0.44 s vs decimal's 0.68 s (double's unsound 0.28 s) on the
+    sf0.1 pricing summary — SCALE §47, where the sf10 sweep caught
+    both unsound forms: ROUND(SUM(double), 4) drifts with summation
+    order, and even an exact decimal sum diverges at the EDGE CAST
+    (DuckDB's direct decimal->double double-rounds through int128
+    scaling, one ulp off Spark's correctly-rounded cast at ~1e12).
+    Bounds: int64 sum overflows at ~9e18/scale — sf>1000 for this
+    corpus; the non-headline money queries keep the decimal
+    accumulator + VARCHAR-mediated oracle edge cast instead."""
+    return F.sum(
+        F.round(expr * F.lit(scale), 0).cast("long")
+    ) / F.lit(float(scale))
+
+
 def stable_avg(col: str) -> F.Column:
     """Cross-engine-stable mean: ROUND(SUM, 4) snaps both engines'
     near-identical sums to the same double (safe because the inputs
@@ -49,8 +75,10 @@ def stable_avg(col: str) -> F.Column:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4)      AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+               AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+                    AS BIGINT)) / 10000.0 AS sum_disc_price,
            ROUND(SUM(l_quantity), 4) / COUNT(l_quantity) AS avg_qty,
            ROUND(SUM(l_discount), 4) / COUNT(l_discount) AS avg_disc,
            COUNT(*)                       AS count_order
@@ -63,13 +91,22 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped multi-aggregate in one shuffle (glue.py:300-308 pattern).
 
     Scale: partial aggregation (map-side combine) means the shuffle
-    carries one row per (group x task), not per input row.
-    """
+    carries one row per (group x task), not per input row. Money sums
+    are exact LONG FIXED-POINT (money_sum_cents — the r11 sf10 sweep
+    caught the ROUND(SUM(double), 4) form drifting at ~5e11 totals;
+    the cents form A/B'd 0.44 s vs the decimal accumulator's 0.68 s
+    at sf0.1, SCALE §47); quantity sums are integer-valued doubles
+    (exact below 2^53) and keep the original ROUND form."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-        F.round(F.sum(_revenue()), 4).alias("sum_disc_price"),
+        money_sum_cents(F.col("l_extendedprice"), 100).alias(
+            "sum_base_price"
+        ),
+        money_sum_cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            10000,
+        ).alias("sum_disc_price"),
         stable_avg("l_quantity").alias("avg_qty"),
         stable_avg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),

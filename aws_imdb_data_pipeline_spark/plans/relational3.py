@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.plans.relational import money_sum_cents
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
 
@@ -20,7 +21,8 @@ from aws_imdb_data_pipeline_spark.sources.tables import load_table
     "regional_revenue",
     oracle="""
     SELECT n_name AS nation,
-           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+           SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+                    AS BIGINT)) / 10000.0 AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -36,7 +38,10 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-table snowflake chain filtered to one region. The region
     filter reaches nation through the broadcast chain BEFORE touching
     the fact table — only matching customers survive to the fact join,
-    so the big side shuffles once (orderkey) and probes broadcasts."""
+    so the big side shuffles once (orderkey) and probes broadcasts.
+    Revenue is an exact long-fixed-point sum (money_sum_cents — the
+    double ROUND(SUM) drifted at sf10's ~1.2e11 per-nation totals,
+    r11 sweep, SCALE §47)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -52,9 +57,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
-                4,
+            money_sum_cents(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                10000,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -101,7 +106,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l_extendedprice), 4) AS total_price
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                AS VARCHAR) AS DOUBLE) AS total_price
     FROM lineitem
     JOIN avg_per_part USING (l_partkey)
     WHERE l_quantity < 0.5 * avg_qty
@@ -122,7 +128,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 

@@ -656,7 +656,7 @@ def segment_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_charge_unpivot",
     oracle="""
     SELECT l_returnflag, component,
-           CAST(SUM(amount) AS DOUBLE) AS total
+           CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS total
     FROM (
         SELECT l_returnflag, 'base' AS component,
                CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -688,14 +688,22 @@ def lineitem_charge_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All three amounts are EXACT decimals (price 2dp, x discount 2dp,
     x tax 2dp — scales add under multiplication, nothing rounds):
-    DECIMAL(30,6) is the unpivot's common type, the sum is exact and
-    order-invariant, and only the output edge casts to DOUBLE. The
-    double formulation's ROUND(SUM, 4) drifted at sf1 (6M rows — the
-    round-11 sweep's second catch, same class as SCALE §42). The
-    exact-arithmetic price is ~3x the old double pass (0.26 -> ~0.9 s
-    at sf0.1), carried by the per-row decimal products, NOT the
-    Expand: a two-phase aggregate-then-unpivot rewrite was A/B'd at
-    1.03-1.06 s vs this form's 0.89-0.93 s and rejected."""
+    DECIMAL(30,6) is the unpivot's common type and the sum is exact
+    and order-invariant. The double formulation's ROUND(SUM, 4)
+    drifted at sf1 (6M rows — the round-11 sweep's second catch, same
+    class as SCALE §42). The exact-arithmetic price is ~3x the old
+    double pass (0.26 -> ~0.9 s at sf0.1), carried by the per-row
+    decimal products, NOT the Expand: a two-phase
+    aggregate-then-unpivot rewrite was A/B'd at 1.03-1.06 s vs this
+    form's 0.89-0.93 s and rejected.
+
+    The output edge follows the money_sum convention
+    (plans/relational.py): Spark casts the exact decimal sum to double
+    directly (correctly rounded), the oracle casts VIA VARCHAR —
+    at sf10 the per-flag totals reach ~1.06e12, where one double ulp
+    is 2.4e-4 and DuckDB's DIRECT decimal->double cast double-rounds
+    through int128 scaling onto the ADJACENT double even though the
+    decimal sums are bit-identical (r11 sf10 sweep, SCALE §47)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("__p"),
