@@ -598,19 +598,22 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST((year(o_orderdate) // 10) * 10 AS INTEGER) AS order_decade,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS decade_revenue
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+               AS decade_revenue
     FROM orders
     GROUP BY 1
     """,
     operators=("F13", "A1"),
 )
 def orders_per_decade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer decade bucketing ((year/10)::int*10, glue.py:132,241)."""
+    """Integer decade bucketing ((year/10)::int*10, glue.py:132,241).
+    Decade-grain revenue reaches ~2.9e12 at sf10, where the double
+    ROUND(SUM) drifted (r11 sweep) — exact cents sum instead."""
     orders = load_table(spark, sf_dir, "orders")
     dec = ((F.year("o_orderdate") / 10).cast("int") * 10).alias("order_decade")
     return orders.groupBy(dec).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("decade_revenue"),
+        money_sum_cents(F.col("o_totalprice"), 100).alias("decade_revenue"),
     )
 
 
@@ -678,7 +681,8 @@ def filtered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_orders_per_priority",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) / COUNT(o_totalprice) AS avg_price
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+               / COUNT(o_totalprice) AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -692,7 +696,9 @@ def sql_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 4) / COUNT(o_totalprice) AS avg_price
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   / CAST(100 AS DOUBLE)
+                   / COUNT(o_totalprice) AS avg_price
         FROM orders
         GROUP BY o_orderpriority
         """
