@@ -115,22 +115,56 @@ def build_ivf_index(
     }
 
 
+def _read_appends_marker(path: str) -> list[int]:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, "_appends.json")) as f:
+            return list(_json.load(f)["batches"])
+    except (OSError, ValueError, KeyError):
+        return []
+
+
+def _write_appends_marker(path: str, batches: list[int]) -> None:
+    import json as _json
+    import os as _os
+
+    tmp = _os.path.join(path, "_appends.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"batches": batches}, f)
+    _os.replace(tmp, _os.path.join(path, "_appends.json"))
+
+
 def load_ivf_index(
     spark, path: str, id_col: str = "id"
 ) -> DataFrame:
     """The persisted assignment table as (``id_col``, __arr, __list) —
     the same shape :func:`build_ivf_assignments` returns, so every
-    consumer accepts either interchangeably."""
+    consumer accepts either interchangeably. Reads the base build plus
+    every COMMITTED append batch (``_appends.json``); a crashed
+    :func:`ivf_append` leaves an uncommitted staging dir that is
+    simply not read — same leaves-no-marker discipline as the repo's
+    other artifacts."""
     import os as _os
 
-    return (
-        spark.read.parquet(_os.path.join(path, "vectors"))
-        .select(
+    dirs = [_os.path.join(path, "vectors")] + [
+        _os.path.join(path, "appends", f"b={n}")
+        for n in _read_appends_marker(path)
+    ]
+    # one scan per committed dir, unioned — each dir is its own
+    # __list-partitioned root (a single multi-path read would trip
+    # partition discovery across heterogeneous layouts), and a
+    # __list filter still prunes partitions inside every branch
+    out = None
+    for d in dirs:
+        part = spark.read.parquet(d).select(
             F.col("id").alias(id_col),
             F.col("vec").alias("__arr"),
             "__list",
         )
-    )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def cosine_topk_ivf(
@@ -279,17 +313,26 @@ def ivf_append(
     vec_col: str,
 ) -> None:
     """Append a new vector batch to a persisted :func:`build_ivf_index`
-    artifact: assign against the artifact's frozen centroids and
-    parquet-append into the ``__list`` partition layout. Deletion is
-    the mirror image — an anti-join rewrite of the affected
-    partitions (per-vector rows are independent, like the band
-    index). Centroids drift as the corpus grows; the recall checks
-    are the rebuild trigger, not a row count."""
+    artifact: assign against the artifact's frozen centroids, stage
+    the batch as its own ``appends/b=<n>`` parquet dir (``__list``
+    partition layout, so cell pruning still prunes), and COMMIT it by
+    atomically replacing the ``_appends.json`` marker. A crash
+    mid-write leaves an unreferenced staging dir that
+    :func:`load_ivf_index` never reads — the append is all-or-nothing
+    from a reader's view, unlike an in-place parquet append where a
+    partially-landed batch is indistinguishable from a complete one.
+    Deletion is the mirror image — an anti-join rewrite of the
+    affected batch dirs (per-vector rows are independent, like the
+    band index). Centroids drift as the corpus grows; the recall
+    checks are the rebuild trigger, not a row count."""
     import os as _os
 
+    committed = _read_appends_marker(path)
+    n = (max(committed) + 1) if committed else 0
     assigned = assign_to_centroids(batch, id_col, vec_col, meta["centers"])
     assigned.select(
         F.col(id_col).alias("id"), F.col("__arr").alias("vec"), "__list"
-    ).write.mode("append").partitionBy("__list").parquet(
-        _os.path.join(path, "vectors")
+    ).write.mode("overwrite").partitionBy("__list").parquet(
+        _os.path.join(path, "appends", f"b={n}")
     )
+    _write_appends_marker(path, committed + [n])

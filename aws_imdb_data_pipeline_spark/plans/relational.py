@@ -47,10 +47,34 @@ def money_sum_cents(expr: F.Column, scale: int) -> F.Column:
     scaling, one ulp off Spark's correctly-rounded cast at ~1e12).
     Bounds: int64 sum overflows at ~9e18/scale — sf>1000 for this
     corpus; the non-headline money queries keep the decimal
-    accumulator + VARCHAR-mediated oracle edge cast instead."""
-    return F.sum(
-        F.round(expr * F.lit(scale), 0).cast("long")
-    ) / F.lit(float(scale))
+    accumulator + VARCHAR-mediated oracle edge cast instead. That
+    bound is GUARDED at runtime, not just documented — two layers:
+    Spark 4's ANSI mode (on by default, kept on by session.py) already
+    errors on an actual cast/sum overflow, and the same aggregation
+    pass additionally computes the conservative no-cancellation bound
+    ``max(abs(cents)) * count`` (in double — itself overflow-proof)
+    and raises a self-describing decimal-fallback message whenever the
+    mass COULD exceed int64 — including cancellation-heavy corpora
+    ANSI never sees, and on clusters running ansi=false. The sentinel
+    costs one extra max/count pair fused into the existing partial
+    aggregate (A/B'd: headline pricing_summary unchanged within
+    noise) and never fires below the bound, so oracle parity is
+    untouched."""
+    cents = F.round(expr * F.lit(scale), 0).cast("long")
+    bound = F.max(F.abs(cents)).cast("double") * F.count(cents)
+    total = F.when(
+        bound < F.lit(9.0e18), F.sum(cents)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "money_sum_cents: per-group |cents| mass may exceed "
+                "int64 (max(abs)*count >= 9e18) — the fixed-point sum "
+                "would wrap silently; use a DECIMAL accumulator for "
+                "this magnitude (SCALE.md §47)"
+            )
+        )
+    )
+    return total / F.lit(float(scale))
 
 
 def stable_avg(col: str) -> F.Column:

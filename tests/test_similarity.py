@@ -597,3 +597,45 @@ def test_ivf_append_roundtrip_and_serving(spark, sf_dir, tmp_path):
     assert {r.query_id for r in hits} == {
         r.vec_id for r in probe.collect()
     }
+
+
+def test_ivf_append_crash_leaves_no_committed_batch(spark, sf_dir, tmp_path):
+    """ivf_append commits via the atomic _appends.json marker: an
+    uncommitted staging dir (= a crash mid-append) is never read, so a
+    partial append is invisible rather than indistinguishable from a
+    complete one (round-11 advice); a second committed append lands as
+    its own batch and both serve."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        build_ivf_index,
+        ivf_append,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(base, "vec_id", "embedding", path)
+
+    # simulate a crash: batch data fully landed but marker never moved
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        _read_appends_marker,
+        assign_to_centroids,
+    )
+
+    assign_to_centroids(b1, "vec_id", "embedding", meta["centers"]).select(
+        F.col("vec_id").alias("id"), F.col("__arr").alias("vec"), "__list"
+    ).write.partitionBy("__list").parquet(os.path.join(path, "appends", "b=0"))
+    assert _read_appends_marker(path) == []
+    assert load_ivf_index(spark, path, "vec_id").count() == base.count()
+
+    # a real append commits PAST the orphan (fresh batch id) and serves
+    ivf_append(b1, path, meta, "vec_id", "embedding")
+    ivf_append(b2, path, meta, "vec_id", "embedding")
+    assert _read_appends_marker(path) == [0, 1]
+    assert load_ivf_index(spark, path, "vec_id").count() == emb.count()

@@ -1163,3 +1163,68 @@ def test_stream_distinct_bitmaps_exact_and_replay_idempotent(
 
     with pytest.raises(Exception, match="different stream"):
         run(str(tmp_path / "ckpt2"))
+
+
+def test_stream_distinct_commit_is_staged_and_crash_tolerant(
+    spark, sf_dir, tmp_path
+):
+    """The bitmap-state commit is stage+rename (round-11 advice): a
+    leftover staging dir and an orphan never-published version dir —
+    the two artifacts a crash between data write and marker move can
+    leave — are cleaned up by the next successful commit, no staging
+    dirs survive a healthy drain, and the published state matches the
+    from-scratch distinct."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.streaming.distinctserve import (
+        current_distinct,
+        stream_distinct_bitmaps,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    feed = str(tmp_path / "feed")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(feed)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    # pre-plant both crash artifacts the commit path must tolerate:
+    # an unreferenced staging dir and an orphan v= dir for a batch id
+    # the stream will commit (data written, marker never moved)
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(state, "_staging_v0", "bitmaps"))
+    os.makedirs(os.path.join(state, "v=0", "bitmaps"))
+    with open(os.path.join(state, "v=0", "bitmaps", "junk"), "w") as f:
+        f.write("partial")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = stream_distinct_bitmaps(
+        stream, state, str(tmp_path / "ckpt"),
+        key_cols=["day"], value_col="user_id",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    leftovers = [d for d in os.listdir(state) if d.startswith("_staging")]
+    assert leftovers == []
+    assert not os.path.exists(os.path.join(state, "v=0", "bitmaps", "junk"))
+    got = {
+        r.day: r.distinct_exact
+        for r in current_distinct(spark, state, ["day"]).collect()
+    }
+    want = {
+        r.day: r.d
+        for r in ev.groupBy("day")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == want

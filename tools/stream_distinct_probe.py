@@ -47,7 +47,18 @@ def main() -> None:
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     spark = get_spark(
-        "distinct-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "distinct-probe",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # recentProgress retains only numRecentProgressUpdates
+            # entries (default 100) — without this a >100-batch probe
+            # would silently report a truncated tail as the full
+            # per-batch series; raise the buffer past n_batches and
+            # flag truncation explicitly in the output regardless.
+            "spark.sql.streaming.numRecentProgressUpdates": str(
+                n_batches + 8
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="distinct_probe_")
@@ -107,6 +118,7 @@ def main() -> None:
         "drain_sec": round(drain_s, 2),
         "events_per_sec": int(n_events / drain_s),
         "batch_walls_sec": batch_walls,
+        "batch_walls_truncated": len(batch_walls) < n_batches,
         "state_bytes_final": state_bytes,
         "n_days": len(rows),
         "global_distinct": total,
