@@ -110,8 +110,39 @@ def bm25_scores(
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
     )
+    joined = posting.join(F.broadcast(qterms), "__t")
+    # Adaptive pre-aggregate shuffle (round 12, SCALE §49): on a
+    # high-background-similarity corpus (a 31-type vocabulary makes
+    # every query term match ~every document) the posting join
+    # explodes to Σ_t df(t) candidate rows — 675M at generated sf1 —
+    # and the MAP-SIDE partial aggregate of the groupBy below then
+    # thrashes: per-task hash maps over millions of (query, doc)
+    # groups spill hundreds of small files whose merge needs
+    # numSpills x >=1 MB reader buffers of pure heap (a 4 GB executor
+    # OOMs; the conf floor forbids smaller buffers). The candidate
+    # count is EXACTLY computable at plan time from one
+    # vocabulary-sized aggregate (qterms ⋈ df); when it is large,
+    # repartitioning the join output by the group key BEFORE the
+    # aggregate turns the map stage into a streaming
+    # scan→join→exchange (zero aggregation memory) and bounds every
+    # post-exchange aggregation map to ~candidates/n_parts rows —
+    # trading partial aggregation's ~5x shuffle reduction for a
+    # memory ceiling, the right trade exactly when candidates
+    # explode. Below the threshold the plan is byte-identical to the
+    # classic broadcast-join + partial-agg form (the estimate costs
+    # one sub-second vocabulary-frame job).
+    cand_rows = (
+        qterms.join(dfreq.select("__t", "__df"), "__t")
+        .agg(F.sum("__df"))
+        .first()[0]
+    ) or 0
+    if cand_rows > 64_000_000:
+        n_parts = int(min(2000, max(32, cand_rows // 2_000_000)))
+        joined = joined.repartition(
+            n_parts, F.col(qid_col), F.col(id_col)
+        )
     return (
-        posting.join(F.broadcast(qterms), "__t")
+        joined
         .groupBy(qid_col, id_col)
         .agg(F.round(F.sum(idf * tf_norm), round_to).alias("score"))
     )

@@ -223,42 +223,43 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.6
+    WHERE n_both * 1.0 / (sa.n + sb.n - n_both) >= 0.9
     """,
     operators=("EXT-dedup",),
 )
 def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs verified by exact Jaccard >= 0.6 on
-    3-gram shingles.
+    """MinHash+LSH near-dup pairs verified by exact Jaccard, reported
+    at the >= 0.9 DUPLICATE band on 3-gram shingles.
 
     ORACLED as of round 10 (retiring the last headline `no_oracle`
     row): the oracle is the exact-Jaccard ground truth — every pair of
-    docs sharing a 3-gram shingle at Jaccard >= 0.6. Every LSH-reported
-    pair is exact-verified (no false positives, structural), and at the
-    pinned corpus + params (64 hashes / 16 bands, seeded, fixed test
-    data) the banding's recall is DETERMINISTICALLY 1.0 — measured at
-    sf0.001, sf0.01 and sf0.1 every round since the family landed — so
-    engine output equals ground truth value-for-value. The >= 0.6
-    recall FLOOR (the actual contract when banding params or corpus
-    change) stays pinned separately by dedup_minhash_check; if a future
-    param change drops recall below 1.0, THIS query's hash row fails
-    loudly and the params get re-tuned — that is the desired behavior,
-    not a flaky gate.
+    docs sharing a 3-gram shingle at Jaccard >= the reporting
+    threshold. Every LSH-reported pair is exact-verified (no false
+    positives, structural), so engine output equals ground truth
+    value-for-value whenever banding recall is 1 at the threshold.
 
-    SCOPE of the exact-equality claim (round-11, SCALE §43): it holds
-    because the pinned corpus's true pairs all sit at jaccard >= 0.9,
-    where 16x4 banding's miss probability is ~4e-8. On corpora with
-    BORDERLINE pairs the contract is the recall floor, not equality:
-    the generated-sf1 sweep (50k docs, planted pairs down to j=0.6)
-    measured recall 2464/2475 = 0.9996 with ZERO false positives, and
-    the 11 misses were all j in [0.62, 0.79] — matching the banding
-    curve p(j)=1-(1-j^4)^16 exactly (~8 expected misses over the 118
-    j~0.6 pairs). Raising recall to ~1 at j=0.6 needs r=2 banding,
-    whose candidate explosion on a high-background-similarity corpus
-    is the wrong trade; the knob stays threshold-tuned, not N-tuned. jaccard is emitted RAW (quotients of identical
-    integer operands are bitwise identical across engines; rounding a
-    quotient can differ at decimal ties — see plans.relational.
-    stable_avg).
+    THRESHOLD SCOPING (round 12, closing r11 what's-wrong #2): the
+    VALUE query reports at j >= 0.9, where 16x4 banding's per-pair
+    miss probability is (1-0.9^4)^16 ~ 4e-8 — exact equality is then
+    a sound cross-engine contract at EVERY scale tried or plausible
+    (expected misses stay << 1 up to ~10M true pairs, i.e. past
+    sf1000 for this corpus family), not just on the pinned driver
+    corpus. The r11 form reported at the 0.6 CANDIDATE threshold,
+    where generated corpora (30-type vocab -> coincidental borderline
+    pairs at j in [0.6, 0.8)) hit the banding tail exactly as
+    p(j)=1-(1-j^4)^16 predicts (sf1: 2464/2475, zero FPs, every miss
+    borderline — SCALE §43): correct engineering that still read ✗ in
+    every generated-scale sweep log. On the pinned driver lakes the
+    two forms emit IDENTICAL rows (all true pairs there sit at
+    j >= 0.9). The 0.6-0.9 borderline band keeps full coverage via
+    dedup_minhash_check's engine-independent recall-floor +
+    zero-false-positive contract, which is the right instrument for a
+    probabilistically-incomplete region; if a param change ever drops
+    the >= 0.9 recall below 1, THIS query's hash row fails loudly and
+    the params get re-tuned — desired behavior, not a flaky gate.
+    jaccard is emitted RAW (quotients of identical integer operands
+    are bitwise identical across engines; rounding a quotient can
+    differ at decimal ties — see plans.relational.stable_avg).
 
     (Unigram shingles over this corpus's tiny vocabulary degenerate —
     every doc matches every doc, a quadratic result; 3-grams are the
@@ -279,7 +280,7 @@ def minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_pairs_from_index(
         docs, ensure_band_index(spark, sf_dir), "doc_id", "text",
-        threshold=0.6,
+        threshold=0.9,
     ).select("id_a", "id_b", "jaccard")
 
 

@@ -12,6 +12,7 @@ Spark >= 3.2 approach and the one that survives a 1000-executor scale-up.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +42,22 @@ DEFAULT_CONF: dict[str, str] = {
     # recorded rowCount/size (the Spark-side ANALYZE TABLE step).
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # Spill-merge memory is proportional to SPILL COUNT, not data:
+    # HashAggregate's finishAggregate opens one reader per spill file
+    # simultaneously, each with a >= 1 MB buffer (the conf floor) PLUS
+    # a read-ahead double-buffer — a memory-pressured partial
+    # aggregate that spilled a few hundred small files needs
+    # numSpills x 2 MB x concurrent-tasks of pure heap just to merge.
+    # The round-12 local-cluster sweep OOMed 4 GB executors on exactly
+    # this signature (stack = UnsafeSorterSpillReader ->
+    # ReadAheadInputStream ByteBuffer.allocate; SCALE.md §49), which
+    # single-JVM local[*] never sees (the 16 GB driver heap absorbs
+    # the buffers). Disabling read-ahead halves the per-reader cost
+    # (spill merge is sequential IO the OS already read-ahead-caches);
+    # the structural fix — keeping spill counts low in the first place
+    # — is the adaptive pre-aggregate shuffle in
+    # extensions.retrieval.bm25_scores.
+    "spark.unsafe.sorter.spill.read.ahead.enabled": "false",
     # Parquet TIMESTAMP(NANOS) columns surface as long (ns since epoch);
     # sources.tables converts them to microsecond timestamps by
     # truncation, matching how SQL engines (e.g. DuckDB) read the same
@@ -57,13 +74,31 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
-    for the test rig; on a real cluster pass ``None`` master via
-    spark-submit and this builder leaves it untouched.
+    ``master`` defaults to ``$SPARK_GRAFT_MASTER`` if set (e.g.
+    ``local-cluster[2,8,4096]`` — the multi-process substrate the
+    round-11 verdict asked for: real Netty shuffle transport, remote
+    broadcast, task/closure serialization), else
+    ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for the test rig;
+    on a real cluster pass ``None`` master via spark-submit and this
+    builder leaves it untouched.
     """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    if master.startswith("local-cluster"):
+        # executor JVMs spawn their own python workers; pin them to
+        # this interpreter (local[*] inherits it implicitly)
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        # Cross-process python workers deserialize pandas-UDF closures
+        # by MODULE REFERENCE — the package must be importable on the
+        # executor side, which single-JVM local[*] masks (its workers
+        # inherit the driver's sys.path). Found by the round-12
+        # local-cluster sweep: ModuleNotFoundError on the first
+        # mapInPandas stage. Ship the package parent on the executor
+        # PYTHONPATH here; a real cluster deploy uses --py-files or a
+        # pip-installed wheel on the workers (SCALE.md §49).
     if shuffle_partitions is None:
         # Local rig: match core count. Partition-count A/B tests at
         # sf0.1 were dominated by JIT warmth and co-tenant host load
@@ -75,6 +110,15 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local-cluster"):
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        prior = os.environ.get("PYTHONPATH", "")
+        conf.setdefault(
+            "spark.executorEnv.PYTHONPATH",
+            pkg_parent + (os.pathsep + prior if prior else ""),
+        )
     if master.startswith("local"):
         # Local mode runs every executor thread inside the driver JVM,
         # whose default 1g heap OOMs 32 concurrent tasks long before
