@@ -548,23 +548,15 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_lsh_neardup_check",
     oracle="""
-    WITH e AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
-    dots AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY 1, 2
-    ),
+    n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, v FROM v),
     truth AS (
-        SELECT id_a, id_b
-        FROM dots
-        JOIN norms na ON na.vec_id = id_a
-        JOIN norms nb ON nb.vec_id = id_b
-        WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.4
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+              >= 0.4
     )
     SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
            true AS no_false_positives,

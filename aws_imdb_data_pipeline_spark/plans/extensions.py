@@ -347,23 +347,14 @@ def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup",
     oracle="""
-    WITH e AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
-    dots AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
-    FROM dots
-    JOIN norms na ON na.vec_id = id_a
-    JOIN norms nb ON nb.vec_id = id_b
-    WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.4
+    n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, v FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4
     """,
     operators=("EXT-sim", "EXT-dedup"),
 )
@@ -371,7 +362,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.4 (brute-force oracle
     baseline — O(N^2) by design so the LSH path below has exact truth
     to be measured against; `embedding_near_dup_lsh` is the scale
-    entry point)."""
+    entry point).
+
+    Oracle form (round 12, r11 next-round #5): list_dot_product over
+    DOUBLE[] instead of the unnest-to-64-rows self-join — DuckDB's
+    vectorized list kernel accumulates in index order exactly like
+    Spark's aggregate-over-zip_with fold, so the doubles are
+    BIT-IDENTICAL to the old form (verified row-for-row at sf0.1),
+    while the oracle stops materializing a pairs x dims row
+    explosion: 8M pairs/s measured, which carries full-value ground
+    truth past sf1 (200M pairs in ~25 s) where the unnest form blew
+    the 300 s sweep timeout at generated sf0.3+."""
     emb = load_table(spark, sf_dir, "embeddings")
     emb = emb.repartition(spark.sparkContext.defaultParallelism)
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
@@ -398,31 +399,24 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup_scale",
     oracle="""
-    WITH e0 AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings
+    WITH v0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     dup AS (
-        SELECT e0.vec_id + 1000000 AS vec_id,
-               e0.x + 0.2 * (CAST((e0.vec_id * 73 + (e0.i - 1) * 179) % 97
-                                  AS DOUBLE) / 97.0 - 0.5) AS x,
-               e0.i AS i
-        FROM e0 WHERE e0.vec_id % 10 = 0
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(
+                   generate_series(1, len(v)),
+                   i -> v[i] + 0.2 * (CAST((vec_id * 73 + (i - 1) * 179)
+                                           % 97 AS DOUBLE) / 97.0 - 0.5)
+               ) AS v
+        FROM v0 WHERE vec_id % 10 = 0
     ),
-    e AS (SELECT * FROM e0 UNION ALL SELECT * FROM dup),
-    norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM e GROUP BY vec_id),
-    dots AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
-    FROM dots
-    JOIN norms na ON na.vec_id = id_a
-    JOIN norms nb ON nb.vec_id = id_b
-    WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.8
+    e AS (SELECT * FROM v0 UNION ALL SELECT * FROM dup),
+    n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, v FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.8
     """,
     operators=("EXT-sim", "EXT-dedup"),
 )

@@ -470,11 +470,13 @@ def multimodal_video_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_audio_fingerprint",
     oracle="""
     WITH chars AS (
-        SELECT doc_id,
-               ascii(unnest(regexp_split_to_array(text, ''))) % 32768 AS s,
-               generate_subscripts(regexp_split_to_array(text, ''), 1) AS i,
-               len(regexp_split_to_array(text, '')) AS n
-        FROM documents
+        -- per-char rows via substring indexing, NOT a per-char regexp
+        -- split (round 12: the regexp form evaluated 3x per row blew
+        -- the 300 s sweep timeout at sf1; this form is 0.7 s for 16.5M
+        -- char rows and verified row-identical at sf0.01)
+        SELECT doc_id, i, ascii(text[i]) % 32768 AS s, len(text) AS n
+        FROM documents,
+             LATERAL unnest(generate_series(1, len(text))) AS t(i)
     ),
     fs AS (
         SELECT doc_id, ((i - 1) * 16) // n AS f,
