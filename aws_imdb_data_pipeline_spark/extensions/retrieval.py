@@ -82,11 +82,15 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int = 4,
+    pre_shuffle_threshold: int = 64_000_000,
 ) -> DataFrame:
     """BM25 (query, doc) scores from prepared corpus frames —
     (qid_col, id_col, score). ``stats`` is either a 1-row DataFrame
     (__n, __avgdl) or an (n_docs, avgdl) scalar tuple (the artifact
-    path: exact marker integers, no scan)."""
+    path: exact marker integers, no scan). ``pre_shuffle_threshold``
+    is the candidate-row count above which the adaptive pre-aggregate
+    shuffle engages (see the inline comment below; tests lower it to
+    pin plan + value equivalence of the two forms)."""
     qterms = queries.select(
         F.col(qid_col), F.explode(_tokens(qtext_col)).alias("__t")
     ).distinct()
@@ -136,7 +140,7 @@ def bm25_scores(
         .agg(F.sum("__df"))
         .first()[0]
     ) or 0
-    if cand_rows > 64_000_000:
+    if cand_rows > pre_shuffle_threshold:
         n_parts = int(min(2000, max(32, cand_rows // 2_000_000)))
         joined = joined.repartition(
             n_parts, F.col(qid_col), F.col(id_col)

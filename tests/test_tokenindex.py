@@ -230,3 +230,38 @@ def test_retraction_inverts_merge(spark):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, b_dfl.collect())
     )
+
+
+def test_bm25_pre_shuffle_equivalence(spark, sf_dir):
+    """The adaptive pre-aggregate shuffle (round 12, SCALE §49) is
+    output-IDENTICAL to the classic broadcast-join + partial-agg form
+    — it only moves where the aggregation memory lives. Forcing the
+    threshold to 0 engages the repartition on the tiny test corpus;
+    rows must match the default path exactly, and the forced plan must
+    carry the group-key exchange the default plan omits."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.retrieval import (
+        bm25_corpus,
+        bm25_scores,
+    )
+    from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 30).alias("qtext"),
+    )
+    tf, dfreq, stats = bm25_corpus(docs, "doc_id", "text")
+    default = bm25_scores(tf, dfreq, stats, queries)
+    forced = bm25_scores(tf, dfreq, stats, queries, pre_shuffle_threshold=0)
+
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    dplan = default._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in fplan or "hashpartitioning(query_id" in fplan
+    assert "REPARTITION_BY_NUM" not in dplan
+
+    key = lambda r: (r.query_id, r.doc_id)  # noqa: E731
+    d = {key(r): r.score for r in default.collect()}
+    f = {key(r): r.score for r in forced.collect()}
+    assert d == f and len(d) > 0

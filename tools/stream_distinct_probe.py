@@ -6,7 +6,8 @@ of how many events came before) and the committed state size staying
 proportional to the live (day, value-bucket) domain, not to history.
 
 Usage: python tools/stream_distinct_probe.py [n_events] [n_batches]
-       (defaults 10_000_000 events across 20 batches)
+           [user_domain]
+       (defaults 10_000_000 events across 20 batches, 1M-user domain)
 
 Events are staged as parquet files (one per micro-batch via
 maxFilesPerTrigger=1); per-batch wall comes from the query's
@@ -45,6 +46,7 @@ def _du(path: str) -> int:
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    user_domain = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
 
     spark = get_spark(
         "distinct-probe",
@@ -72,18 +74,32 @@ def main() -> None:
             F.lit("2024-01-01").cast("timestamp")
             + F.make_interval(days=(F.col("id") % 30).cast("int"))
         ).alias("day"),
-        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("user_id"),
+        F.pmod(F.xxhash64("id"), F.lit(user_domain)).alias("user_id"),
         (F.col("id") / per_batch).cast("int").alias("__file"),
     )
     t0 = time.perf_counter()
-    ev.repartition(n_batches, "__file").drop("__file").write.parquet(feed)
+    # partitionBy gives exactly one dir per __file value; a hash
+    # repartition(n, "__file") collides values into shared partitions
+    # and leaves others empty, silently making FEWER, bigger batches
+    # (first 50M-domain run: 15 actual batches for n_batches=20, which
+    # tripped the truncation flag spuriously)
+    ev.repartition(n_batches, "__file").write.partitionBy(
+        "__file"
+    ).parquet(feed)
     gen_s = time.perf_counter() - t0
+    n_feed_files = sum(
+        1 for _r, _d, fs in os.walk(feed)
+        for f in fs if f.endswith(".parquet")
+    )
 
     state = os.path.join(work, "state")
     stream = (
-        spark.readStream.schema("event_id long, day timestamp, user_id long")
+        spark.readStream.schema(
+            "event_id long, day timestamp, user_id long, __file int"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
+        .drop("__file")
     )
     t0 = time.perf_counter()
     q = stream_distinct_bitmaps(
@@ -111,14 +127,21 @@ def main() -> None:
     read_s = time.perf_counter() - t0
     total = current_distinct(spark, state).first().distinct_exact
 
+    state_files = sum(
+        1 for _r, _d, fs in os.walk(os.path.join(vdir, "bitmaps"))
+        for f in fs if f.endswith(".parquet")
+    )
     print(json.dumps({
         "n_events": n_events,
         "n_batches": n_batches,
+        "user_domain": user_domain,
+        "state_files_final": state_files,
         "gen_sec": round(gen_s, 2),
         "drain_sec": round(drain_s, 2),
         "events_per_sec": int(n_events / drain_s),
         "batch_walls_sec": batch_walls,
-        "batch_walls_truncated": len(batch_walls) < n_batches,
+        "n_feed_files": n_feed_files,
+        "batch_walls_truncated": len(batch_walls) < n_feed_files,
         "state_bytes_final": state_bytes,
         "n_days": len(rows),
         "global_distinct": total,
