@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.plans.relational import money_sum_cents
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
 
@@ -350,7 +351,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "banded_brand_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    SELECT SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+               AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
@@ -384,8 +386,12 @@ def banded_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
            & F.col("l_quantity").between(20, 30))
     )
+    # exact long-fixed-point sum (round 12): the sf100 divergence
+    # sweep caught ROUND(SUM(double), 4) one ulp off at this query's
+    # single ~1.6e11 global total — the §47 class at a grand-total
+    # grain (SCALE §53)
     return joined.filter(cond).agg(
-        F.round(F.sum(_revenue()), 4).alias("revenue")
+        money_sum_cents(_revenue(), 10000).alias("revenue")
     )
 
 

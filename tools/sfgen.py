@@ -70,7 +70,16 @@ def _chunked(total: int, per_chunk: int):
 
 
 class _ChunkWriter:
-    """Stream pa.Tables into one parquet file, one row group per chunk."""
+    """Stream pa.Tables into one parquet file in bounded row groups.
+
+    Row groups are the minimum parquet read-split unit: a single
+    500k-row documents row group serialized the whole corpus scan to
+    ONE Spark task at sf10 (SCALE §53 — text_token_stats took the
+    same 11 s at sf10 and sf100 because sf10 ran on one thread).
+    250k-row groups keep every table's scan splittable at every sf
+    while staying well above the tiny-row-group overhead regime."""
+
+    ROWS_PER_GROUP = 250_000
 
     def __init__(self, out: str, name: str):
         self.path = os.path.join(out, f"{name}.parquet")
@@ -81,7 +90,7 @@ class _ChunkWriter:
     def write(self, table: pa.Table) -> None:
         if self.writer is None:
             self.writer = pq.ParquetWriter(self.path, table.schema)
-        self.writer.write_table(table)
+        self.writer.write_table(table, row_group_size=self.ROWS_PER_GROUP)
         self.rows += table.num_rows
 
     def close(self) -> None:
