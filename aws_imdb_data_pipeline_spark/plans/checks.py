@@ -1080,74 +1080,80 @@ def ann_ivf_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of (corpus, seed, params) — verified by tools/digest_probe.py across
 # parallelism settings AND across fresh artifact rebuilds (k-means
 # included) — so its digest pins as literals. Twins read the sf-dir
-# corpus, so the literals are keyed by corpus cardinality: the oracle
-# CASEs on (SELECT COUNT(*) FROM embeddings) over the three shipped
-# lakes (20 / 200 / 2000 vectors), and BOTH sides emit NULL digests on
-# any other lake — generated-scale sweeps stay green, and those lakes
-# keep their coverage through the recall/contract checks (which are
-# corpus-agnostic by construction). The digest is exhaustive over
-# top-k MEMBERSHIP (bit_xor of xxhash64(query, neighbor) — any added,
-# dropped, or swapped pair flips it) plus the EXACT score surface
-# (decimal sum, partition-order-invariant, cast to double at the
-# output edge only).
+# corpus, so the literals are keyed by a CONTENT FINGERPRINT of the
+# embeddings table (r12 ADVICE: count-only keying both passed
+# vacuously on the 500-vector lakes — the r12 pins were mislabeled
+# 20/200/2000 — and would false-fail a regenerated same-count lake).
+# The fingerprint is an exact cross-engine bit_xor fold over every
+# (vec_id, label, element, position): floor() on bit-identical
+# doubles, int64 arithmetic, no rounding ties — both engines compute
+# the identical BIGINT, verified on all three shipped lakes. On the
+# shipped lakes (fingerprints below = sf0.001 / sf0.01 / sf0.1, the
+# r12 digest values re-measured and confirmed against the actual
+# lakes) the digests ENGAGE; on any other lake BOTH sides emit NULL
+# digests — generated-scale sweeps stay green, and those lakes keep
+# their coverage through the recall/contract checks (which are
+# corpus-agnostic by construction; they remain registered as the
+# twins' companions, not replaced by these digests). The digest is
+# exhaustive over top-k MEMBERSHIP (bit_xor of xxhash64(query,
+# neighbor) — any added, dropped, or swapped pair flips it) plus the
+# EXACT score surface (decimal sum, partition-order-invariant, cast
+# to double at the output edge only).
 # ---------------------------------------------------------------------------
+from aws_imdb_data_pipeline_spark.plans.fingerprints import (  # noqa: E402
+    FP_SF0_001 as _FP_SF0_001,
+    FP_SF0_01 as _FP_SF0_01,
+    FP_SF0_1 as _FP_SF0_1,
+    DUCK_EMB_FP as _DUCK_EMB_FP,
+    embeddings_fingerprint,
+    pinned_case_oracle,
+)
+
 _DIGEST_PINS: dict[str, dict[int, tuple[int, int, int, float]]] = {
-    # twin -> corpus_vectors -> (n_rows, n_queries, pair_xor, score_sum)
+    # twin -> embeddings fingerprint -> (n_rows, n_queries, pair_xor,
+    #                                    score_sum)
     "ann_cosine_topk_lsh": {
-        20: (25, 5, 4211124120858580500, 7.8892),
-        200: (25, 5, 3016844098188737293, 7.786),
-        2000: (25, 5, -8973184084076142828, 9.0647),
+        _FP_SF0_001: (25, 5, 4211124120858580500, 7.8892),
+        _FP_SF0_01: (25, 5, 3016844098188737293, 7.786),
+        _FP_SF0_1: (25, 5, -8973184084076142828, 9.0647),
     },
     "ann_cosine_topk_ivf": {
-        20: (25, 5, -4463497187515793711, 7.8406),
-        200: (25, 5, -5072580002908454565, 7.7658),
-        2000: (25, 5, 2430236468847196105, 8.645),
+        _FP_SF0_001: (25, 5, -4463497187515793711, 7.8406),
+        _FP_SF0_01: (25, 5, -5072580002908454565, 7.7658),
+        _FP_SF0_1: (25, 5, 2430236468847196105, 8.645),
     },
     "ann_cosine_topk_ivf_pq": {
-        20: (25, 5, -2450038990081904337, 6.9512),
-        200: (25, 5, 3086811807253834246, 7.2964),
-        2000: (25, 5, -6962929669617181050, 8.144),
+        _FP_SF0_001: (25, 5, -2450038990081904337, 6.9512),
+        _FP_SF0_01: (25, 5, 3086811807253834246, 7.2964),
+        _FP_SF0_1: (25, 5, -6962929669617181050, 8.144),
     },
     "rrf_hybrid_retrieval_ivf": {
-        20: (125, 25, 6988270608446680961, 2.066071),
-        200: (125, 25, 5944713256292727004, 2.110751),
-        2000: (1250, 250, 2686437248871785453, 20.060762),
+        _FP_SF0_001: (125, 25, 6988270608446680961, 2.066071),
+        _FP_SF0_01: (125, 25, 5944713256292727004, 2.110751),
+        _FP_SF0_1: (1250, 250, 2686437248871785453, 20.060762),
     },
 }
 
 
 def _digest_oracle_sql(twin: str) -> str:
-    pins = _DIGEST_PINS[twin]
-
-    def case(i: int, cast: str) -> str:
-        whens = " ".join(
-            f"WHEN {n} THEN CAST({pins[n][i]!r} AS {cast})"
-            for n in sorted(pins)
-        )
-        return f"CASE c {whens} END"
-
-    return f"""
-    WITH n AS (SELECT COUNT(*) AS c FROM embeddings)
-    SELECT c AS corpus_vectors,
-           {case(0, 'BIGINT')} AS n_rows,
-           {case(1, 'BIGINT')} AS n_queries,
-           {case(2, 'BIGINT')} AS pair_xor,
-           {case(3, 'DOUBLE')} AS score_sum
-    FROM n
-    """
+    return pinned_case_oracle(
+        _DIGEST_PINS[twin],
+        [("n_rows", "BIGINT"), ("n_queries", "BIGINT"),
+         ("pair_xor", "BIGINT"), ("score_sum", "DOUBLE")],
+    )
 
 
 def _twin_digest(
     spark: SparkSession, sf_dir: str, twin: str, neighbor_col: str,
     score_col: str,
 ) -> DataFrame:
-    n = load_table(spark, sf_dir, "embeddings").count()
-    if n not in _DIGEST_PINS[twin]:
+    fp = embeddings_fingerprint(spark, sf_dir)
+    if fp not in _DIGEST_PINS[twin]:
         # unpinned lake: emit the same all-NULL digest the oracle's
         # CASE produces, keeping generated-scale sweeps green while
         # the corpus-agnostic contract checks carry the verification
         return spark.range(1).select(
-            F.lit(n).cast("bigint").alias("corpus_vectors"),
+            F.lit(fp).cast("bigint").alias("corpus_fp"),
             F.lit(None).cast("bigint").alias("n_rows"),
             F.lit(None).cast("bigint").alias("n_queries"),
             F.lit(None).cast("bigint").alias("pair_xor"),
@@ -1157,7 +1163,7 @@ def _twin_digest(
 
     hits = REGISTRY[twin].fn(spark, sf_dir)
     return hits.agg(
-        F.lit(n).cast("bigint").alias("corpus_vectors"),
+        F.lit(fp).cast("bigint").alias("corpus_fp"),
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("query_id").alias("n_queries"),
         F.expr(

@@ -62,8 +62,11 @@ def money_sum_cents(expr: F.Column, scale: int) -> F.Column:
     untouched."""
     cents = F.round(expr * F.lit(scale), 0).cast("long")
     bound = F.max(F.abs(cents)).cast("double") * F.count(cents)
+    # bound is NULL on an empty or all-NULL group (max of nothing);
+    # that case must fall through to SUM (which is NULL there), not to
+    # the raise_error branch — a zero-row global aggregate is legal.
     total = F.when(
-        bound < F.lit(9.0e18), F.sum(cents)
+        (bound < F.lit(9.0e18)) | bound.isNull(), F.sum(cents)
     ).otherwise(
         F.raise_error(
             F.lit(

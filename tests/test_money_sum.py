@@ -77,6 +77,29 @@ def test_cents_sum_overflow_fails_loudly(spark):
         df2.agg(money_sum_cents(F.col("x"), 100).alias("s")).first()
 
 
+def test_cents_sum_empty_and_all_null_groups(spark):
+    """Empty/all-NULL groups must return NULL, not raise (ADVICE r12):
+    max(abs(cents)) is NULL there, so the overflow bound is NULL and
+    the when() must fall through to SUM — a global aggregate whose
+    filter matches zero rows is legal (e.g. banded_brand_revenue on a
+    small corpus)."""
+    from pyspark.sql import types as T
+
+    # zero-row global aggregate
+    empty = spark.createDataFrame([], T.StructType(
+        [T.StructField("x", T.DoubleType())]))
+    row = empty.agg(money_sum_cents(F.col("x"), 100).alias("s")).first()
+    assert row.s is None
+
+    # all-NULL group alongside a populated one
+    df = spark.createDataFrame(
+        [("a", 1.25), ("a", 2.75), ("b", None)], ["g", "x"])
+    got = {r.g: r.s for r in
+           df.groupBy("g").agg(money_sum_cents(F.col("x"), 100)
+                               .alias("s")).collect()}
+    assert got == {"a": 4.0, "b": None}
+
+
 def test_cents_sum_guard_inert_below_bound(spark):
     """Same aggregate, magnitudes a hair under the guard: value is the
     exact fixed-point sum and no error fires."""

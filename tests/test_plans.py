@@ -290,12 +290,16 @@ def test_parity_audit_covers_every_rows_only_query():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PARITY.md",
     )
-    audited: dict[str, str] = {}
+    audited: dict[str, list[str]] = {}
     with open(md) as f:
         for line in f:
-            m = re.match(r"\| ([a-z0-9_]+) \| .* \| ([a-z0-9_]+) \| ", line)
+            m = re.match(
+                r"\| ([a-z0-9_]+) \| .* \| ([a-z0-9_, ]+) \| ", line
+            )
             if m and m.group(1) != "rows-only":
-                audited[m.group(1)] = m.group(2)
+                audited[m.group(1)] = [
+                    c.strip() for c in m.group(2).split(",")
+                ]
     rows_only = {n for n in REGISTRY if REGISTRY[n].oracle is None}
     assert set(audited) == rows_only, (
         f"PARITY.md is stale — run tools/parity_audit.py. "
@@ -316,11 +320,12 @@ def test_parity_audit_covers_every_rows_only_query():
 
     unmapped = [n for n in rows_only if n not in COMPANIONS]
     assert unmapped == [], f"rows-only queries without companions: {unmapped}"
-    for q, comp in audited.items():
-        assert comp in REGISTRY, f"{q}: companion {comp} not registered"
-        assert REGISTRY[comp].oracle is not None, (
-            f"{q}: companion {comp} is itself rows-only"
-        )
+    for q, comps in audited.items():
+        for comp in comps:
+            assert comp in REGISTRY, f"{q}: companion {comp} not registered"
+            assert REGISTRY[comp].oracle is not None, (
+                f"{q}: companion {comp} is itself rows-only"
+            )
     # no failed local executions recorded
     with open(md) as f:
         assert "ERROR" not in f.read(), "PARITY.md records failed runs"
