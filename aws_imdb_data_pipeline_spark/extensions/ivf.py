@@ -136,6 +136,59 @@ def _write_appends_marker(path: str, batches: list[int]) -> None:
     _os.replace(tmp, _os.path.join(path, "_appends.json"))
 
 
+# Committed-batch count past which ivf_append warns to rebuild: each
+# batch is one more parquet scan unioned into every reader's plan.
+APPEND_COMPACT_THRESHOLD = 32
+
+
+class IvfAppendLockHeld(RuntimeError):
+    """Another ivf_append holds the artifact's append lock."""
+
+
+class _appends_lock:
+    """O_EXCL lock file serializing the read-modify-write of
+    ``_appends.json`` (r12 ADVICE: two concurrent appenders could
+    choose the same batch id — one overwrites the other's staged data
+    — and the loser's marker rewrite silently drops the winner's
+    committed batch). Appends are rare control-plane operations
+    (nightly batches), so contention means a misconfigured pipeline:
+    fail loudly rather than queue. A crash while holding the lock
+    leaves ``_appends.lock`` behind; the error message names it —
+    deleting it is safe because the protected marker update itself is
+    atomic (os.replace) and a crashed append's staging dir is never
+    referenced."""
+
+    def __init__(self, path: str) -> None:
+        import os as _os
+
+        self._lock = _os.path.join(path, "_appends.lock")
+
+    def __enter__(self):
+        import os as _os
+
+        try:
+            fd = _os.open(self._lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            raise IvfAppendLockHeld(
+                f"ivf_append: {self._lock} exists — another append is in "
+                "flight (appends are single-writer), or a previous append "
+                "crashed while holding the lock. If no appender is "
+                "running, delete the lock file and retry; committed "
+                "batches are never affected."
+            ) from None
+        _os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        import os as _os
+
+        try:
+            _os.remove(self._lock)
+        except OSError:
+            pass
+        return False
+
+
 def load_ivf_index(
     spark, path: str, id_col: str = "id"
 ) -> DataFrame:
@@ -324,15 +377,40 @@ def ivf_append(
     Deletion is the mirror image — an anti-join rewrite of the
     affected batch dirs (per-vector rows are independent, like the
     band index). Centroids drift as the corpus grows; the recall
-    checks are the rebuild trigger, not a row count."""
-    import os as _os
+    checks are the rebuild trigger, not a row count.
 
-    committed = _read_appends_marker(path)
-    n = (max(committed) + 1) if committed else 0
-    assigned = assign_to_centroids(batch, id_col, vec_col, meta["centers"])
-    assigned.select(
-        F.col(id_col).alias("id"), F.col("__arr").alias("vec"), "__list"
-    ).write.mode("overwrite").partitionBy("__list").parquet(
-        _os.path.join(path, "appends", f"b={n}")
-    )
-    _write_appends_marker(path, committed + [n])
+    CONCURRENCY: appends are single-writer, enforced by an O_EXCL
+    lock file around the read-modify-write of the marker (concurrent
+    appenders raise :class:`IvfAppendLockHeld` instead of silently
+    dropping each other's batches). Readers need no lock — they see
+    the marker before or after the atomic replace, both consistent.
+
+    COMPACTION: load_ivf_index unions one scan per committed batch;
+    past ``APPEND_COMPACT_THRESHOLD`` batches the union fan-out (plan
+    size, per-branch scan setup) outweighs the append savings —
+    rebuild the index (one corpus pass, the same cost a first build
+    paid) and the marker resets to empty. ivf_append warns at the
+    threshold rather than auto-rebuilding: the rebuild refits
+    centroids, which the operator should schedule with the recall
+    checks, not bury inside an append."""
+    import os as _os
+    import warnings as _warnings
+
+    with _appends_lock(path):
+        committed = _read_appends_marker(path)
+        n = (max(committed) + 1) if committed else 0
+        assigned = assign_to_centroids(batch, id_col, vec_col, meta["centers"])
+        assigned.select(
+            F.col(id_col).alias("id"), F.col("__arr").alias("vec"), "__list"
+        ).write.mode("overwrite").partitionBy("__list").parquet(
+            _os.path.join(path, "appends", f"b={n}")
+        )
+        _write_appends_marker(path, committed + [n])
+        if len(committed) + 1 >= APPEND_COMPACT_THRESHOLD:
+            _warnings.warn(
+                f"ivf_append: {len(committed) + 1} committed batches at "
+                f"{path} — load_ivf_index now unions that many scans; "
+                "rebuild the index (build_ivf_index) to compact and "
+                "refresh centroids.",
+                stacklevel=2,
+            )

@@ -83,6 +83,7 @@ def bm25_scores(
     b: float = 0.75,
     round_to: int = 4,
     pre_shuffle_threshold: int = 64_000_000,
+    cand_rows: int | None = None,
 ) -> DataFrame:
     """BM25 (query, doc) scores from prepared corpus frames —
     (qid_col, id_col, score). ``stats`` is either a 1-row DataFrame
@@ -90,7 +91,16 @@ def bm25_scores(
     path: exact marker integers, no scan). ``pre_shuffle_threshold``
     is the candidate-row count above which the adaptive pre-aggregate
     shuffle engages (see the inline comment below; tests lower it to
-    pin plan + value equivalence of the two forms)."""
+    pin plan + value equivalence of the two forms).
+
+    ``cand_rows`` keeps plan construction LAZY on hot serving paths
+    (r12 ADVICE: the plan-time estimate is an eager vocabulary-frame
+    job per invocation): pass the candidate count (Σ_t df over the
+    batch's query terms) if the caller already knows or bounds it —
+    0 pins the classic partial-agg plan, any value above the
+    threshold pins the pre-shuffle plan. None (default) estimates it
+    with the one sub-second aggregate, the right call for ad-hoc use
+    where an unbounded explosion is worse than an eager job."""
     qterms = queries.select(
         F.col(qid_col), F.explode(_tokens(qtext_col)).alias("__t")
     ).distinct()
@@ -135,11 +145,12 @@ def bm25_scores(
     # explode. Below the threshold the plan is byte-identical to the
     # classic broadcast-join + partial-agg form (the estimate costs
     # one sub-second vocabulary-frame job).
-    cand_rows = (
-        qterms.join(dfreq.select("__t", "__df"), "__t")
-        .agg(F.sum("__df"))
-        .first()[0]
-    ) or 0
+    if cand_rows is None:
+        cand_rows = (
+            qterms.join(dfreq.select("__t", "__df"), "__t")
+            .agg(F.sum("__df"))
+            .first()[0]
+        ) or 0
     if cand_rows > pre_shuffle_threshold:
         n_parts = int(min(2000, max(32, cand_rows // 2_000_000)))
         joined = joined.repartition(

@@ -639,3 +639,40 @@ def test_ivf_append_crash_leaves_no_committed_batch(spark, sf_dir, tmp_path):
     ivf_append(b2, path, meta, "vec_id", "embedding")
     assert _read_appends_marker(path) == [0, 1]
     assert load_ivf_index(spark, path, "vec_id").count() == emb.count()
+
+
+def test_ivf_append_lock_serializes_writers(spark, sf_dir, tmp_path):
+    """Concurrent appenders raise IvfAppendLockHeld instead of
+    silently dropping each other's batches (r12 ADVICE: the marker
+    read-modify-write was unserialized); the lock releases on exit,
+    including the error path, so the next append proceeds."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.extensions.ivf import (
+        IvfAppendLockHeld,
+        _read_appends_marker,
+        build_ivf_index,
+        ivf_append,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(base, "vec_id", "embedding", path)
+
+    # a writer holds the lock -> a second append fails loudly
+    lock = os.path.join(path, "_appends.lock")
+    open(lock, "w").close()
+    with pytest.raises(IvfAppendLockHeld, match="_appends.lock"):
+        ivf_append(b1, path, meta, "vec_id", "embedding")
+    assert _read_appends_marker(path) == []
+
+    # lock released (operator deletes the stale file) -> append lands
+    os.remove(lock)
+    ivf_append(b1, path, meta, "vec_id", "embedding")
+    assert _read_appends_marker(path) == [0]
+    assert not os.path.exists(lock), "append must release its lock"

@@ -265,3 +265,15 @@ def test_bm25_pre_shuffle_equivalence(spark, sf_dir):
     d = {key(r): r.score for r in default.collect()}
     f = {key(r): r.score for r in forced.collect()}
     assert d == f and len(d) > 0
+
+    # explicit cand_rows (r12 ADVICE: lazy construction on hot
+    # serving paths): 0 pins the classic plan with NO estimate job,
+    # an above-threshold value pins the pre-shuffle plan; both match
+    lazy = bm25_scores(tf, dfreq, stats, queries, cand_rows=0)
+    lplan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" not in lplan
+    assert {key(r): r.score for r in lazy.collect()} == d
+    big = bm25_scores(tf, dfreq, stats, queries, cand_rows=10**9)
+    bplan = big._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in bplan or "hashpartitioning(query_id" in bplan
+    assert {key(r): r.score for r in big.collect()} == d
