@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
 
 
 @register(
@@ -94,7 +94,7 @@ def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(maybe_broadcast(first_seen, sf_dir, "events"), "user_id")
         .select(
             "user_id",
             "cohort_day",

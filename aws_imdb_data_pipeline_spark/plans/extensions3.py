@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
 
 # span-operator parameters, shared by the two registered queries and
 # the hot-shingle artifact fingerprint (any change rebuilds the set)
@@ -214,7 +214,7 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
     )
     votes = (
-        top.join(F.broadcast(lab), "neighbor_id")
+        top.join(maybe_broadcast(lab, sf_dir, "embeddings"), "neighbor_id")
         .groupBy("query_id", "nlabel")
         .agg(F.count(F.lit(1)).alias("__c"))
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
 
 
 def _distinct_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,7 +153,7 @@ def fuzzy_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Names with no fuzzy link are their own (singleton) entity; the
     # HAVING keeps only merged groups, so singletons drop out anyway —
     # left join + coalesce keeps the rollup total-preserving first.
-    labeled = part.join(F.broadcast(comp), "p_name", "left").withColumn(
+    labeled = part.join(maybe_broadcast(comp, sf_dir, "part"), "p_name", "left").withColumn(
         "canonical", F.coalesce("canonical", "p_name")
     )
     out = (

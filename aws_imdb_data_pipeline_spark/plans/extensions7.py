@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
 
 
 @register(
@@ -117,7 +117,7 @@ def corpus_dsir_weights_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     ct = (
-        tfl.join(F.broadcast(target_ids), "doc_id", "left_semi")
+        tfl.join(maybe_broadcast(target_ids, sf_dir, "documents"), "doc_id", "left_semi")
         .groupBy("lword")
         .agg(F.sum("tf").alias("__ct"))
     )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
 
 # Shared oracle prefix: DuckDB rebuilds partsupp with the same integer
 # arithmetic (generate_series fan-out == the Spark explode).
@@ -128,8 +128,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
     )
     eligible = (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
-        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(maybe_broadcast(part, sf_dir, "part"), ps.ps_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), ps.ps_suppkey == supp.s_suppkey)
         .select("p_partkey", "ps_supplycost", "s_name", "n_name", "s_acctbal")
     )
     min_cost = (
@@ -139,7 +139,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         eligible.join(
-            F.broadcast(min_cost),
+            maybe_broadcast(min_cost, sf_dir, "part"),
             (F.col("p_partkey") == F.col("__pk"))
             & (F.col("ps_supplycost") == F.col("__min")),
         )
@@ -194,7 +194,7 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
-    national = ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey).select(
+    national = ps.join(maybe_broadcast(supp, sf_dir, "supplier"), ps.ps_suppkey == supp.s_suppkey).select(
         "ps_partkey",
         (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
     )
@@ -250,9 +250,9 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        ps.join(maybe_broadcast(part, sf_dir, "part"), ps.ps_partkey == part.p_partkey)
         .join(
-            F.broadcast(bad),
+            maybe_broadcast(bad, sf_dir, "supplier"),
             ps.ps_suppkey == bad.s_suppkey,
             "left_anti",
         )
@@ -313,7 +313,7 @@ def promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.lit(0.5) * F.sum("l_quantity")).alias("__half_qty"))
     )
     overstocked = (
-        ps.join(F.broadcast(small), ps.ps_partkey == small.p_partkey, "left_semi")
+        ps.join(maybe_broadcast(small, sf_dir, "part"), ps.ps_partkey == small.p_partkey, "left_semi")
         .join(
             shipped,
             (F.col("ps_partkey") == F.col("l_partkey"))
@@ -327,7 +327,7 @@ def promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(overstocked),
+            maybe_broadcast(overstocked, sf_dir, "supplier"),
             F.col("s_suppkey") == F.col("ps_suppkey"),
             "left_semi",
         )
@@ -476,8 +476,8 @@ def min_cost_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan's hash distribution without relying on join-key equivalence
     # propagation
     eligible = (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey, "left_semi")
-        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        ps.join(maybe_broadcast(part, sf_dir, "part"), ps.ps_partkey == part.p_partkey, "left_semi")
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), ps.ps_suppkey == supp.s_suppkey)
         .select("ps_partkey", "ps_supplycost", "s_name", "n_name", "s_acctbal")
     )
     min_cost = (
@@ -487,7 +487,7 @@ def min_cost_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         eligible.join(
-            F.broadcast(min_cost),
+            maybe_broadcast(min_cost, sf_dir, "part"),
             (F.col("ps_partkey") == F.col("__pk"))
             & (F.col("ps_supplycost") == F.col("__min")),
         )
@@ -524,7 +524,7 @@ def important_stock_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
-    national = ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey).select(
+    national = ps.join(maybe_broadcast(supp, sf_dir, "supplier"), ps.ps_suppkey == supp.s_suppkey).select(
         "ps_partkey",
         (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
     )

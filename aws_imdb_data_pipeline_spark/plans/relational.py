@@ -20,7 +20,11 @@ from aws_imdb_data_pipeline_spark.functions.cleaning import banding
 from aws_imdb_data_pipeline_spark.operators.agg_patterns import ordered_collect_concat
 from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group, top_k_global
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table, register_views
+from aws_imdb_data_pipeline_spark.sources.tables import (
+    load_table,
+    maybe_broadcast,
+    register_views,
+)
 
 
 def _revenue() -> F.Column:
@@ -170,7 +174,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
@@ -210,7 +214,7 @@ def top_parts_by_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey", "p_name")
         .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
@@ -306,7 +310,9 @@ def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment"
     )
     return orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left"
+        maybe_broadcast(cust, sf_dir, "customer"),
+        orders.o_custkey == cust.c_custkey,
+        "left",
     ).select(
         "o_orderkey",
         "o_custkey",
@@ -324,7 +330,8 @@ def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name AS region_name,
            COUNT(*) AS customers,
-           ROUND(SUM(c_acctbal), 4) / COUNT(c_acctbal) AS avg_acctbal
+           (SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0)
+               / COUNT(c_acctbal) AS avg_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -347,7 +354,11 @@ def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            stable_avg("c_acctbal").alias("avg_acctbal"),
+            # region grain is FIXED (5 groups): balance mass crosses
+            # the ~1e10 drift bound at sf100 (money-grain audit r13)
+            # — exact cents numerator, raw quotient
+            (money_sum_cents(F.col("c_acctbal"), 100) / F.count("c_acctbal"))
+            .alias("avg_acctbal"),
         )
     )
 
@@ -665,7 +676,9 @@ def order_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(
+        maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey
+    )
     return ordered_collect_concat(
         joined,
         group_by=["l_orderkey"],

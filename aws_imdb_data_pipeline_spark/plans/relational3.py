@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.plans.relational import money_sum_cents
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
 
 
 # ---------------------------------------------------------------------------
@@ -54,7 +54,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(maybe_broadcast(dims, sf_dir, "customer"), orders.o_custkey == dims.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             money_sum_cents(
@@ -72,25 +72,32 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     oracle="""
-    SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                     THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END), 4)
-           / ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share
+    SELECT (SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0 END * 10000, 0) AS BIGINT)) / 10000.0)
+           / (SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+                       AS BIGINT)) / 10000.0) AS promo_share
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
     operators=("A6", "A7", "P9"),
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-sum ratio in one scan (sum(when)/sum). Both sums
-    rounded before the division (4-decimal true values → tie-free),
-    quotient emitted raw for cross-engine stability."""
+    are GLOBAL money masses (~3e10 already at sf0.1 — the largest
+    grain in the registry; money-grain audit r13), so both use the
+    exact cents form; the quotient divides identical operands."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(
+        maybe_broadcast(part, sf_dir, "part"), li.l_partkey == part.p_partkey
+    )
     return joined.agg(
         (
-            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4)
-            / F.round(F.sum(rev), 4)
+            money_sum_cents(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), 10000
+            )
+            / money_sum_cents(rev, 10000)
         ).alias("promo_share")
     )
 
@@ -124,7 +131,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("l_quantity"), 4) / F.count("l_quantity")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_per_part), "l_partkey")
+        li.join(maybe_broadcast(avg_per_part, sf_dir, "part"), "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -191,7 +198,7 @@ def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(
@@ -244,9 +251,9 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.plans.relational import money_sum_cents
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
 
 
 def _revenue() -> F.Column:
@@ -70,7 +70,8 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_s.n_name AS supp_nation, n_c.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-           ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS volume
+           SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+                    AS BIGINT)) / 10000.0 AS volume
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation n_s ON s_nationkey = n_s.n_nationkey
@@ -105,9 +106,9 @@ def nation_trade_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -116,7 +117,7 @@ def nation_trade_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
-    ).agg(F.round(F.sum(_revenue()), 4).alias("volume"))
+    ).agg(money_sum_cents(_revenue(), 10000).alias("volume"))
 
 
 # ---------------------------------------------------------------------------
@@ -127,10 +128,11 @@ def nation_trade_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "market_share",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-           ROUND(SUM(CASE WHEN n_s.n_name = 'NATION_5'
-                          THEN l_extendedprice * (1.0 - l_discount)
-                          ELSE 0 END), 4)
-           / ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4)
+           (SUM(CAST(ROUND(CASE WHEN n_s.n_name = 'NATION_5'
+                           THEN l_extendedprice * (1.0 - l_discount)
+                           ELSE 0 END * 10000, 0) AS BIGINT)) / 10000.0)
+           / (SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000, 0)
+                       AS BIGINT)) / 10000.0)
            AS mkt_share
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -170,18 +172,25 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
     joined = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(
+            maybe_broadcast(part.select("p_partkey"), sf_dir, "part"),
+            li.l_partkey == F.col("p_partkey"),
+        )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
     )
     rev = _revenue()
     national = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    # per-year grain is FIXED: the denominator mass crosses the drift
+    # bound at sf100 (money-grain audit r13) — exact cents both legs,
+    # raw quotient of identical operands
     return joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
-        (F.round(F.sum(national), 4) / F.round(F.sum(rev), 4)).alias("mkt_share")
+        (money_sum_cents(national, 10000) / money_sum_cents(rev, 10000))
+        .alias("mkt_share")
     )
 
 
@@ -193,8 +202,9 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profit_by_nation_year",
     oracle="""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS order_year,
-           ROUND(SUM(l_extendedprice * (1.0 - l_discount)
-                     - 0.01 * p_retailprice * l_quantity), 4) AS profit
+           SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)
+                           - 0.01 * p_retailprice * l_quantity) * 10000, 0)
+                    AS BIGINT)) / 10000.0 AS profit
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -217,17 +227,20 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     joined = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            maybe_broadcast(part.select("p_partkey", "p_retailprice"), sf_dir, "part"),
             li.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
     profit = _revenue() - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
+    # (nation, year) grain is FIXED — cents form (audit r13); the
+    # profit expression is exactly 4dp (4dp revenue minus
+    # 0.01 x 2dp x integer qty)
     return joined.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year")
-    ).agg(F.round(F.sum(profit), 4).alias("profit"))
+    ).agg(money_sum_cents(profit, 10000).alias("profit"))
 
 
 # ---------------------------------------------------------------------------
@@ -280,7 +293,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__mx"
     )
     return (
-        best.join(F.broadcast(supp), best.supplier_no == supp.s_suppkey)
+        best.join(maybe_broadcast(supp, sf_dir, "supplier"), best.supplier_no == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -336,7 +349,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big_qty, orders.o_orderkey == big_qty.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             F.round("__q", 4).alias("total_qty"),
@@ -375,7 +388,7 @@ def banded_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(1, 15)
     )
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        maybe_broadcast(part.select("p_partkey", "p_brand", "p_size"), sf_dir, "part"),
         li.l_partkey == F.col("p_partkey"),
     )
     cond = (
@@ -401,7 +414,8 @@ def banded_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "discount_revenue_delta",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta,
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0)
+                    AS BIGINT)) / 10000.0 AS revenue_delta,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE year(l_shipdate) = 1997
@@ -426,9 +440,11 @@ def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 15)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-            "revenue_delta"
-        ),
+        # global filtered grain crosses the drift bound at sf100
+        # (money-grain audit r13) — exact cents (4dp product)
+        money_sum_cents(
+            F.col("l_extendedprice") * F.col("l_discount"), 10000
+        ).alias("revenue_delta"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -505,7 +521,7 @@ def blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__late") & (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
     )
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(maybe_broadcast(supp, sf_dir, "supplier"), waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -518,10 +534,12 @@ def blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dormant_rich_customers",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_custs,
-           ROUND(SUM(c_acctbal), 4) AS total_bal
+           SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0
+               AS total_bal
     FROM customer c
     WHERE c_acctbal > (
-        SELECT ROUND(SUM(c_acctbal), 4) / COUNT(c_acctbal)
+        SELECT (SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0)
+               / COUNT(c_acctbal)
         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (
         SELECT 1 FROM orders o
@@ -544,8 +562,13 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "2000-01-01"
     )
+    # the scalar threshold AND the per-segment totals both sit on
+    # fixed grains whose mass crosses the drift bound at sf100
+    # (money-grain audit r13) — exact cents; a drifted threshold
+    # would flip MEMBERSHIP, not just a value
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        (F.round(F.sum("c_acctbal"), 4) / F.count("c_acctbal")).alias("__avg")
+        (money_sum_cents(F.col("c_acctbal"), 100) / F.count("c_acctbal"))
+        .alias("__avg")
     )
     rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg")).drop(
         "__avg"
@@ -555,7 +578,7 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dormant.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_custs"),
-        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        money_sum_cents(F.col("c_acctbal"), 100).alias("total_bal"),
     )
 
 
@@ -646,7 +669,7 @@ def segment_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(maybe_broadcast(cust, sf_dir, "customer"), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.mode("o_orderpriority", True).alias("modal_priority"),
