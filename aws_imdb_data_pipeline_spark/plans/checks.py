@@ -375,11 +375,28 @@ def dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = sh.select(F.col("doc_id").alias("id_a"), "gh")
     y = sh.select(F.col("doc_id").alias("id_b"), "gh")
-    inter = (
-        x.join(y, "gh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    # Adaptive pre-aggregate shuffle for the quadratic truth leg (the
+    # bm25_scores §49 pattern): candidate pairs = Σ_g C(df_g, 2),
+    # exactly computable from one vocabulary-sized aggregate. The r13
+    # cluster pressure run (sf10, 4 GB executors) OOMed the executor
+    # HEAP here — 8 concurrent map-side (id_a, id_b) hash-aggregate
+    # maps over the exploded self-join — and the dying executor's
+    # hung shutdown poisoned the whole session. Above the threshold,
+    # repartitioning the join output by the group key BEFORE the
+    # count turns the map side into a streaming join→exchange and
+    # bounds every post-exchange aggregation map to ~pairs/n_parts
+    # rows; below it the plan is byte-identical to the classic form.
+    pairs_est = (
+        sh.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))
+        .agg(F.sum(F.col("__df") * (F.col("__df") - F.lit(1)) / 2))
+        .first()[0]
+    ) or 0
+    joined_gt = x.join(y, "gh").filter(F.col("id_a") < F.col("id_b"))
+    if pairs_est > 64_000_000:
+        n_parts = int(min(2000, max(32, pairs_est // 2_000_000)))
+        joined_gt = joined_gt.repartition(n_parts, "id_a", "id_b")
+    inter = joined_gt.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_both")
     )
     truth = (
         inter.join(

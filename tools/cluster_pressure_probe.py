@@ -11,10 +11,15 @@ queries, per-query wall + error capture, one JSON line at the end.
 
 Usage:
   SPARK_GRAFT_MASTER=local-cluster[2,8,4096] \\
-  python tools/cluster_pressure_probe.py SF_DIR [out.json]
+  python tools/cluster_pressure_probe.py SF_DIR [out.json] \\
+      [--runs N] [--no-warmup]
 
 Run it WITHOUT the env var to get the same-host local[32] baseline for
-the delta column.
+the delta column. ``--runs 1 --no-warmup`` is the defect-hunt mode:
+at sf10 under the constrained substrate the full best-of-2 +
+warm-up protocol is ~3x the wall of a single pass, and the probe's
+job is finding spill/OOM/fetch failures, not nanosecond precision —
+use it when artifacts are already warm.
 """
 
 from __future__ import annotations
@@ -48,8 +53,13 @@ HEAVY = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1]
-    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0]
+    out_path = args[1] if len(args) > 1 else None
+    runs = 1 if "--runs" not in sys.argv else int(
+        sys.argv[sys.argv.index("--runs") + 1]
+    )
+    warmup = "--no-warmup" not in sys.argv
     spark = get_spark(
         "cluster-pressure",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -58,11 +68,12 @@ def main() -> None:
     master = spark.sparkContext.master
 
     names = list(HEADLINE) + HEAVY
-    for name in names:  # untimed: artifacts + JIT
-        try:
-            run_noop(REGISTRY[name].fn(spark, sf_dir))
-        except Exception:
-            pass
+    if warmup:
+        for name in names:  # untimed: artifacts + JIT
+            try:
+                run_noop(REGISTRY[name].fn(spark, sf_dir))
+            except Exception:
+                pass
 
     calib = float("inf")
     for _ in range(2):
@@ -76,7 +87,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             try:
                 run_noop(REGISTRY[name].fn(spark, sf_dir))
