@@ -1121,7 +1121,6 @@ from aws_imdb_data_pipeline_spark.plans.fingerprints import (  # noqa: E402
     FP_SF0_001 as _FP_SF0_001,
     FP_SF0_01 as _FP_SF0_01,
     FP_SF0_1 as _FP_SF0_1,
-    DUCK_EMB_FP as _DUCK_EMB_FP,
     embeddings_fingerprint,
     pinned_case_oracle,
 )

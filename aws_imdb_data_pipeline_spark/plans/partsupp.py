@@ -320,7 +320,12 @@ def promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
         .filter(F.col("ps_availqty") > F.col("__half_qty"))
+        # distinct is free under the left_semi consumer and restores the
+        # gate's upper-bound invariant: without it this frame is
+        # partsupp-grain (duplicate ps_suppkey rows), so the supplier
+        # table's footprint would NOT bound the broadcast relation.
         .select("ps_suppkey")
+        .distinct()
     )
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
     return (

@@ -95,9 +95,16 @@ def main() -> None:
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 break
             best = min(best, time.perf_counter() - t0)
-        if name not in errors:
+        # A later repetition erroring must not discard an already-
+        # measured success: keep the best finite time AND the error
+        # (flaky-substrate runs report both).
+        if best != float("inf"):
             times[name] = round(best, 3)
-        print(f"{name}: {times.get(name, 'ERROR')}", flush=True)
+        print(
+            f"{name}: {times.get(name, 'ERROR')}"
+            + (f" (late-run error: {errors[name]})" if name in errors else ""),
+            flush=True,
+        )
 
     result = {
         "sf_dir": sf_dir,

@@ -220,6 +220,14 @@ def run_audit(sf_dir: str) -> dict:
 
     from aws_imdb_data_pipeline_spark.sources.tables import TABLES
 
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    if not m:
+        raise SystemExit(
+            f"cannot infer scale factor from lake dir {sf_dir!r}: the "
+            "fixed-grain extrapolation needs sf; name the dir sf<N> "
+            "(e.g. sf0.1, sf100) or symlink it under such a name"
+        )
+    sf_here = float(m.group(1))
     con = duckdb.connect()
     con.execute("SET threads TO 4")
     for t in TABLES:
@@ -228,8 +236,6 @@ def run_audit(sf_dir: str) -> dict:
             f"'{os.path.join(sf_dir, t + '.parquet')}'"
         )
     sites = audited_sites()
-    sf_here = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-                    or 0.1)
     rows = []
     problems = []
     for name in sorted(sites):
