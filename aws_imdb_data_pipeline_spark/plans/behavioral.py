@@ -88,7 +88,16 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-active day, counted on
     day 0 / 1 / 7 offsets. The first-seen aggregate is small (one row
-    per user) → broadcast back onto the event scan."""
+    per user) → broadcast back onto the event scan.
+
+    Gate note (r13 ADVICE): in path mode the gate's facts cannot see
+    that this user-grain aggregate is far smaller than the events
+    table it derives from — the base-table footprint is the bound and
+    the plan-size estimate has no NDV to shrink the aggregate's row
+    count, so above budget the hint is (intentionally, conservatively)
+    surrendered to AQE's runtime statistics. In catalog mode with
+    ANALYZE ... FOR COLUMNS user_id, the CBO's NDV-based aggregate
+    estimate restores the hint exactly where it is genuinely small."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("day")
     )

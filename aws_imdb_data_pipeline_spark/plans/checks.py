@@ -17,6 +17,17 @@ Floors are chosen with margin below the measured deterministic values
 (fixed seeds + fixed corpus => fixed recall; see each docstring) so
 they hold at every shipped SF while still failing on real damage.
 
+Sampled-exact strata (round 14, r13 verdict #1): the deliberately-
+quadratic TRUTH legs (exact-Jaccard shingle join, brute all-pairs
+cosine, exact batch-x-corpus retrieval) verify a DETERMINISTIC
+stratum of the corpus above the sf1 caps — see plans/strata.py for
+the two laws and why S == 1 (bit-identical historical behavior) on
+every shipped lake, the driver gate, and the sf1 sweep. The strata
+are mirrored exactly in the DuckDB oracles, so the checks stay
+full-value driver-verifiable at ANY lake size, and the r13 pressure
+substrate (sf10, 4 GB executors) can complete every heavy contract
+instead of exhausting host spill disk on >75 GB truth kernels.
+
 Coverage: every substantive rows-only query now has a companion here
 (fingerprint, MinHash pairs, sign-LSH / IVF / IVF-PQ ANN, embedding-
 LSH near-dup, HLL profile, hash split, incremental near-dup, semantic
@@ -34,6 +45,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.plans.strata import (
+    TRUTH_DOC_CAP,
+    TRUTH_VEC_CAP,
+    linear_modulus,
+    linear_modulus_sql,
+    quadratic_modulus_sql,
+)
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
 
@@ -288,11 +306,18 @@ def simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_check",
-    oracle=r"""
-    WITH w AS (
+    oracle=rf"""
+    WITH params AS (
+        SELECT {linear_modulus_sql('documents', TRUTH_DOC_CAP)} AS s
+    ),
+    strat AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % (SELECT s FROM params) = 0
+    ),
+    w AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                generate_subscripts(string_split(text, ' '), 1) AS i
-        FROM documents
+        FROM strat
     ),
     sh AS (
         SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
@@ -336,10 +361,19 @@ def dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       design is generous at the 0.6 threshold) — so the 0.6 floor is
       damage detection, not a tuning bar.
 
-    Scale note: ground truth here is the common-shingle join (any
-    pair at Jaccard >= 0.6 shares shingles), NOT an all-pairs cross
-    join; at 100 TB this check runs on a sampled slice — the
-    contract, not the corpus, is what's verified.
+    Scale note (sampled-exact stratum, r13 verdict #1): ground truth
+    is the common-shingle join (any pair at Jaccard >= 0.6 shares
+    shingles), NOT an all-pairs cross join — but its pair volume
+    still grows ~n^2 (shingle document frequencies scale with the
+    corpus), and the r13 pressure run measured >75 GB of spill at
+    sf10 on one host. Both legs therefore verify the DETERMINISTIC
+    doc stratum ``doc_id % S == 0`` with S = linear_modulus(n_docs)
+    (plans/strata.py): S == 1 — the historical full-corpus form — on
+    every shipped lake, the driver gate, and the sf1 sweep; above
+    that the stratum holds ~50k docs so the truth leg's working set
+    is the sf1-green one at every scale. The SERVE leg still runs
+    the full-corpus band index (it passed sf10 under pressure) and
+    is compared on stratum pairs only.
 
     The POSITIVE leg is served from the persisted band-index artifact
     (minhash_pairs_from_index — round-8 verdict #3): identical params
@@ -356,6 +390,16 @@ def dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Deterministic sampled-exact stratum (see docstring): one tiny
+    # count job at plan time — deliberate, like pairs_est below; this
+    # is a once-per-sweep verification contract and the modulus must
+    # be a literal to mirror the oracle's integer arithmetic exactly.
+    stratum = linear_modulus(docs.count(), TRUTH_DOC_CAP)
+    # at S == 1 skip the no-op filters so shipped-lake plans are
+    # byte-identical to the historical form
+    docs_t = docs if stratum == 1 else docs.filter(
+        F.col("doc_id") % stratum == 0
+    )
     # Shingles travel as xxhash64 keys, not strings (round-9 verdict
     # #2): the ground-truth self-join shuffles 8-byte keys (~3x
     # narrower rows), the same hashed-key-through-shuffle trade the
@@ -367,7 +411,7 @@ def dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization barrier serializes stages that otherwise overlap,
     # and re-deriving a cheap projection 3x costs less than storing it.
     sh = (
-        shingle_docs(docs, "doc_id", "text", k=3)
+        shingle_docs(docs_t, "doc_id", "text", k=3)
         .select("doc_id", F.explode("__shingles").alias("g"))
         .select("doc_id", F.xxhash64("g").alias("gh"))
         .distinct()
@@ -386,6 +430,12 @@ def dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count turns the map side into a streaming join→exchange and
     # bounds every post-exchange aggregation map to ~pairs/n_parts
     # rows; below it the plan is byte-identical to the classic form.
+    # Deliberately EAGER (.first() at construction time), unlike
+    # bm25_scores' cand_rows parameter (r12 ADVICE): this contract
+    # runs once per parity sweep, is never composed lazily into a
+    # serve path, and the estimate IS what prevents the §57 heap OOM
+    # — threading a laziness knob here would add a parameter nobody
+    # passes. Same documented trade as `stratum` above.
     pairs_est = (
         sh.groupBy("gh").agg(F.count(F.lit(1)).alias("__df"))
         .agg(F.sum(F.col("__df") * (F.col("__df") - F.lit(1)) / 2))
@@ -416,7 +466,12 @@ def dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = minhash_pairs_from_index(
         docs, ensure_band_index(spark, sf_dir), "doc_id", "text",
         threshold=0.6,
-    ).select("id_a", "id_b")
+    )
+    if stratum > 1:
+        lsh = lsh.filter(
+            (F.col("id_a") % stratum == 0) & (F.col("id_b") % stratum == 0)
+        )
+    lsh = lsh.select("id_a", "id_b")
     joined = truth.withColumn("__t", F.lit(1)).join(
         lsh.withColumn("__l", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
@@ -564,9 +619,13 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_lsh_neardup_check",
-    oracle="""
-    WITH v AS (
+    oracle=f"""
+    WITH params AS (
+        SELECT {linear_modulus_sql('embeddings', TRUTH_VEC_CAP)} AS s
+    ),
+    v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % (SELECT s FROM params) = 0
     ),
     n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm, v FROM v),
     truth AS (
@@ -590,15 +649,32 @@ def embedding_lsh_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth (its exact-cosine verify guarantees it) and recovers >= 75%
     of it even in this recall-stress regime (threshold 0.4 sits near
     the sign-LSH noise floor). Deterministic — measured recall
-    0.955 / 0.949 / 0.923 at sf0.001 / 0.01 / 0.1."""
+    0.955 / 0.949 / 0.923 at sf0.001 / 0.01 / 0.1.
+
+    Sampled-exact stratum (r13 verdict #1): both legs verify the
+    deterministic slice ``vec_id % S == 0``, S = linear_modulus(n)
+    (plans/strata.py) — S == 1 (full corpus, the historical form) on
+    every shipped lake and at sf1; above that the stratum holds
+    ~20k vectors so the brute truth leg's O(n^2) kernel keeps the
+    sf1-green working set at any scale. The single-side id
+    predicates push through the truth leg's cross join into both
+    scan sides, so compute — not just output — is pruned."""
     from aws_imdb_data_pipeline_spark.plans.registry import REGISTRY
 
-    truth = REGISTRY["embedding_near_dup"].fn(spark, sf_dir).select(
-        "id_a", "id_b"
-    )
-    lsh = REGISTRY["embedding_near_dup_lsh"].fn(spark, sf_dir).select(
-        "id_a", "id_b"
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one tiny count job at plan time — the documented-eager stratum
+    # pattern (see dedup_minhash_check)
+    stratum = linear_modulus(emb.count(), TRUTH_VEC_CAP)
+    truth = REGISTRY["embedding_near_dup"].fn(spark, sf_dir)
+    lsh = REGISTRY["embedding_near_dup_lsh"].fn(spark, sf_dir)
+    if stratum > 1:  # no-op filters skipped at S == 1 (plan parity)
+        in_stratum = (F.col("id_a") % stratum == 0) & (
+            F.col("id_b") % stratum == 0
+        )
+        truth = truth.filter(in_stratum)
+        lsh = lsh.filter(in_stratum)
+    truth = truth.select("id_a", "id_b")
+    lsh = lsh.select("id_a", "id_b")
     joined = truth.withColumn("__t", F.lit(1)).join(
         lsh.withColumn("__l", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
@@ -684,9 +760,12 @@ def ann_ivf_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rrf_hybrid_ivf_check",
-    oracle="""
+    oracle=f"""
     SELECT CAST(5 * (SELECT COUNT(*) FROM documents
-                     WHERE doc_id % 20 = 0) AS BIGINT) AS n_truth,
+                     WHERE doc_id %
+                           (20 * {quadratic_modulus_sql('documents',
+                                                        TRUTH_DOC_CAP)})
+                           = 0) AS BIGINT) AS n_truth,
            true AS overlap_ge_floor,
            true AS lex_legs_identical
     """,
@@ -699,9 +778,12 @@ def rrf_hybrid_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``n_truth``: the exact form emits exactly 5 fused rows per query
       (oracle recomputes 5 x |queries| — the query set is doc_id %
-      20 == 0 over DOCUMENTS: the lexical leg's set, a superset of the
-      dense leg's whenever embeddings cover a prefix of the doc ids,
-      and the fused full-outer keeps its union);
+      (20*S) == 0 over DOCUMENTS with S the strata batch modulus
+      (plans/strata.py; S == 1, the historical set, at sf <= 1): the
+      lexical leg's set, a superset of the dense leg's whenever
+      embeddings cover a prefix of the doc ids, and the fused
+      full-outer keeps its union — both compared forms use the same
+      internal modulus, so the check needs no stratum logic itself);
     - ``overlap_ge_floor``: the IVF-served fused top-5 recovers >= 75%
       of the exact fused top-5 pairs — measured 0.96 / 0.91 / 0.97 at
       sf0.001 / 0.01 / 0.1 with n_probe=6 of 16 lists (the dense legs
@@ -1244,3 +1326,116 @@ def rrf_hybrid_ivf_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _twin_digest(
         spark, sf_dir, "rrf_hybrid_retrieval_ivf", "doc_id", "rrf_score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Artifact-frame digest oracles (round 14, r13 verdict #6): the same
+# content-fingerprint pinning applied to the three remaining
+# deterministic k-means-cell consumers. Each is a pure function of
+# (embeddings corpus, seed) served from the shared assignment
+# artifact; tools/digest_probe.py verified their digests invariant to
+# parallelism AND to a fresh artifact rebuild before pinning. The xor
+# column is exhaustive over the full output rows, so a single moved
+# vector, changed cell, flipped survivor, or drifted cap flips it.
+# ---------------------------------------------------------------------------
+_ARTIFACT_DIGEST_SPECS: dict[str, tuple[tuple[str, str], ...]] = {
+    # query -> ((col_name, spark agg sql), ...); oracle types all BIGINT
+    "embedding_cluster_sizes": (
+        ("n_cells", "count(1)"),
+        ("n_vectors_total", "sum(n_vectors)"),
+        ("rows_xor", "bit_xor(xxhash64(cluster_id, n_vectors))"),
+    ),
+    "cluster_balanced_sample": (
+        ("n_cells", "count(1)"),
+        ("before_total", "sum(n_before)"),
+        ("after_total", "sum(n_after)"),
+        ("rows_xor", "bit_xor(xxhash64(cell, n_before, n_after))"),
+    ),
+    "semantic_dedup_survivors": (
+        ("n_rows", "count(1)"),
+        ("n_survivors", "sum(case when is_survivor then 1 else 0 end)"),
+        ("rows_xor", "bit_xor(xxhash64(id, component, is_survivor))"),
+    ),
+}
+
+_ARTIFACT_DIGEST_PINS: dict[str, dict[int, tuple[int, ...]]] = {
+    # measured on the shipped lakes (sf0.001 / sf0.01 / sf0.1),
+    # cross-checked at two parallelism settings and a fresh artifact
+    # rebuild by tools/digest_probe.py --artifact
+    "embedding_cluster_sizes": {
+        _FP_SF0_001: (16, 500, -3739096468448527177),
+        _FP_SF0_01: (16, 500, -726853067796033207),
+        _FP_SF0_1: (16, 2000, 5184145140374585181),
+    },
+    "cluster_balanced_sample": {
+        _FP_SF0_001: (16, 500, 196, 5877835551772185734),
+        _FP_SF0_01: (16, 500, 238, 5355122928182903226),
+        _FP_SF0_1: (16, 2000, 276, -3827483354402622799),
+    },
+    # sf0.001/sf0.01 share a digest legitimately: both corpora have
+    # 500 vectors with ids 0..499 and ZERO >=0.8 near-dup pairs, so
+    # the survivor frame is (id, id, true) x 500 in both — identical
+    # rows; the corpus_fp key still separates the lakes.
+    "semantic_dedup_survivors": {
+        _FP_SF0_001: (500, 500, 3475712498713279124),
+        _FP_SF0_01: (500, 500, 3475712498713279124),
+        _FP_SF0_1: (2000, 2000, -3599175455748454152),
+    },
+}
+
+
+def _artifact_digest(spark: SparkSession, sf_dir: str, qname: str) -> DataFrame:
+    fp = embeddings_fingerprint(spark, sf_dir)
+    spec = _ARTIFACT_DIGEST_SPECS[qname]
+    if fp not in _ARTIFACT_DIGEST_PINS[qname]:
+        return spark.range(1).select(
+            F.lit(fp).cast("bigint").alias("corpus_fp"),
+            *[F.lit(None).cast("bigint").alias(c) for c, _ in spec],
+        )
+    from aws_imdb_data_pipeline_spark.plans.registry import REGISTRY
+
+    frame = REGISTRY[qname].fn(spark, sf_dir)
+    return frame.agg(
+        F.lit(fp).cast("bigint").alias("corpus_fp"),
+        *[F.expr(sql).cast("bigint").alias(c) for c, sql in spec],
+    )
+
+
+def _artifact_digest_oracle(qname: str) -> str:
+    return pinned_case_oracle(
+        _ARTIFACT_DIGEST_PINS[qname],
+        [(c, "BIGINT") for c, _ in _ARTIFACT_DIGEST_SPECS[qname]],
+    )
+
+
+@register(
+    "cluster_sizes_digest",
+    oracle=_artifact_digest_oracle("embedding_cluster_sizes"),
+    operators=("EXT-sim", "A1"),
+)
+def cluster_sizes_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver ORACLE for embedding_cluster_sizes' OUTPUT: full cell
+    histogram pinned (count, total, row xor) per shipped lake."""
+    return _artifact_digest(spark, sf_dir, "embedding_cluster_sizes")
+
+
+@register(
+    "cluster_sample_digest",
+    oracle=_artifact_digest_oracle("cluster_balanced_sample"),
+    operators=("EXT-corpus", "EXT-sim", "A1"),
+)
+def cluster_sample_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver ORACLE for cluster_balanced_sample's OUTPUT: per-cell
+    before/after caps pinned exhaustively per shipped lake."""
+    return _artifact_digest(spark, sf_dir, "cluster_balanced_sample")
+
+
+@register(
+    "semantic_dedup_digest",
+    oracle=_artifact_digest_oracle("semantic_dedup_survivors"),
+    operators=("EXT-dedup", "EXT-sim", "A1"),
+)
+def semantic_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver ORACLE for semantic_dedup_survivors' OUTPUT: every
+    (id, component, is_survivor) row folded into a pinned xor."""
+    return _artifact_digest(spark, sf_dir, "semantic_dedup_survivors")

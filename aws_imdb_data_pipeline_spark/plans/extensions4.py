@@ -10,13 +10,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.plans.strata import (
+    TRUTH_DOC_CAP,
+    quadratic_modulus,
+    quadratic_modulus_sql,
+)
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
+
+# Self-retrieval query batches are capped by the strata law (see
+# plans/strata.py): on every shipped lake and the sf1 sweep the
+# modulus is 1 (bit-identical to the historical % 20 form); above
+# sf~1.4 the batch shrinks so batch x corpus work stays bounded.
+_QUERY_PARAMS_CTE = (
+    "params AS (SELECT "
+    + quadratic_modulus_sql("documents", TRUTH_DOC_CAP)
+    + " AS s)"
+)
+_QUERY_MOD_SQL = "(20 * (SELECT s FROM params))"
 
 
 @register(
     "bm25_self_retrieval",
-    oracle=r"""
-    WITH ws AS (
+    oracle=rf"""
+    WITH {_QUERY_PARAMS_CTE},
+    ws AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\s+'),
                            w -> w <> '') AS ws
@@ -35,7 +52,7 @@ from aws_imdb_data_pipeline_spark.sources.tables import load_table
     q AS (
         SELECT DISTINCT doc_id AS query_id, u.w AS t
         FROM (SELECT doc_id, ws[1:6] AS qs FROM ws
-              WHERE doc_id % 20 = 0),
+              WHERE doc_id % {_QUERY_MOD_SQL} = 0),
              LATERAL unnest(qs) AS u(w)
     ),
     sc AS (
@@ -89,18 +106,32 @@ def bm25_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bm25_from_artifact(
-    spark: SparkSession, sf_dir: str, k: int, exclude_self: bool
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    exclude_self: bool,
+    query_mod: int | None = None,
 ) -> DataFrame:
     """Shared serve path for the BM25 family (self-retrieval and
-    hard-negative mining): self-retrieval queries (every 20th doc's
-    first 6 words) scored against the token-stats artifact's posting
-    frames."""
+    hard-negative mining): self-retrieval queries (every (20*S)th
+    doc's first 6 words) scored against the token-stats artifact's
+    posting frames.
+
+    ``query_mod`` defaults to ``20 * quadratic_modulus(n_docs)``
+    (plans/strata.py): S == 1 — the historical query set — on every
+    shipped lake and at sf1; above that the batch shrinks so exact
+    scoring stays per-host-bounded (with this corpus's ~31-word pool
+    every term matches ~77% of documents, so per-query cost is
+    Θ(corpus)). n_docs comes from the artifact's exact marker integer
+    — a plan-time constant, no job."""
     from aws_imdb_data_pipeline_spark.extensions.retrieval import bm25_topk
     from aws_imdb_data_pipeline_spark.extensions.tokenindex import token_stats
 
     ts = token_stats(spark, sf_dir)
+    if query_mod is None:
+        query_mod = 20 * quadratic_modulus(ts.n_docs, TRUTH_DOC_CAP)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = docs.filter(F.col("doc_id") % 20 == 0).select(
+    queries = docs.filter(F.col("doc_id") % query_mod == 0).select(
         F.col("doc_id").alias("query_id"),
         F.array_join(
             F.slice(

@@ -10,10 +10,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_imdb_data_pipeline_spark.plans.extensions4 import (
+    _QUERY_MOD_SQL,
+    _QUERY_PARAMS_CTE,
+)
 from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.plans.strata import (
+    TRUTH_DOC_CAP,
+    quadratic_modulus,
+)
 from aws_imdb_data_pipeline_spark.sources.tables import load_table
 
 _COVERAGE_SIZES = (5, 10, 20)
+
+
+def _retrieval_query_mod(spark: SparkSession, sf_dir: str) -> int:
+    """The retrieval family's shared query-batch modulus (20 * S,
+    plans/strata.py law): 20 — the historical set — at sf <= 1, larger
+    above so exact batch x corpus scoring stays per-host-bounded.
+    n_docs is the token-stats artifact's exact marker integer (a
+    plan-time constant, no job)."""
+    from aws_imdb_data_pipeline_spark.extensions.tokenindex import token_stats
+
+    return 20 * quadratic_modulus(
+        token_stats(spark, sf_dir).n_docs, TRUTH_DOC_CAP
+    )
 
 
 @register(
@@ -91,8 +112,9 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bm25_hard_negatives",
-    oracle=r"""
-    WITH ws AS (
+    oracle=rf"""
+    WITH {_QUERY_PARAMS_CTE},
+    ws AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\s+'),
                            w -> w <> '') AS ws
@@ -111,7 +133,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT DISTINCT doc_id AS query_id, u.w AS t
         FROM (SELECT doc_id, ws[1:6] AS qs FROM ws
-              WHERE doc_id % 20 = 0),
+              WHERE doc_id % {_QUERY_MOD_SQL} = 0),
              LATERAL unnest(qs) AS u(w)
     ),
     sc AS (
@@ -160,8 +182,9 @@ def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rrf_hybrid_retrieval",
-    oracle=r"""
-    WITH ws AS (
+    oracle=rf"""
+    WITH {_QUERY_PARAMS_CTE},
+    ws AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\s+'),
                            w -> w <> '') AS ws
@@ -180,7 +203,7 @@ def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT DISTINCT doc_id AS query_id, u.w AS t
         FROM (SELECT doc_id, ws[1:6] AS qs FROM ws
-              WHERE doc_id % 20 = 0),
+              WHERE doc_id % {_QUERY_MOD_SQL} = 0),
              LATERAL unnest(qs) AS u(w)
     ),
     sc AS (
@@ -216,7 +239,7 @@ def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots AS (
         SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
                SUM(qe.x * c.x) AS dot
-        FROM (SELECT * FROM e WHERE vec_id % 20 = 0) qe
+        FROM (SELECT * FROM e WHERE vec_id % {_QUERY_MOD_SQL} = 0) qe
         JOIN e c ON qe.i = c.i AND qe.vec_id <> c.vec_id
         GROUP BY 1, 2
     ),
@@ -264,24 +287,27 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     because it consumes only RANKS (integers — engine-deterministic
     after each list's rounded-score + id tiebreak ordering).
 
-    Query set: every 20th document (self excluded from both lists);
-    its embedding row shares the id space (vec_id == doc_id). Both
-    input rankings are already oracled operators (bm25 family /
-    ann_cosine_topk); the fusion itself is a FULL OUTER join on
-    (query, doc) of two k-row-per-query frames — tiny regardless of
-    corpus size — so hybrid costs nothing beyond its two retrievals.
-    The lexical side rides the token-stats artifact (SCALE.md §25)."""
+    Query set: every (20*S)th document (self excluded from both
+    lists; S is the strata law's batch modulus — 1, the historical
+    set, at sf <= 1); its embedding row shares the id space
+    (vec_id == doc_id). Both input rankings are already oracled
+    operators (bm25 family / ann_cosine_topk); the fusion itself is a
+    FULL OUTER join on (query, doc) of two k-row-per-query frames —
+    tiny regardless of corpus size — so hybrid costs nothing beyond
+    its two retrievals. The lexical side rides the token-stats
+    artifact (SCALE.md §25)."""
     from aws_imdb_data_pipeline_spark.extensions.similarity import cosine_topk
     from aws_imdb_data_pipeline_spark.plans.extensions4 import (
         bm25_from_artifact,
     )
 
-    lex = bm25_from_artifact(spark, sf_dir, k=10, exclude_self=True).select(
-        "query_id", "doc_id", F.col("rank").alias("lex_rank")
-    )
+    qmod = _retrieval_query_mod(spark, sf_dir)
+    lex = bm25_from_artifact(
+        spark, sf_dir, k=10, exclude_self=True, query_mod=qmod
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     emb = load_table(spark, sf_dir, "embeddings")
     den = cosine_topk(
-        queries=emb.filter(F.col("vec_id") % 20 == 0),
+        queries=emb.filter(F.col("vec_id") % qmod == 0),
         candidates=emb,
         id_col="vec_id",
         vec_col="embedding",
@@ -353,13 +379,14 @@ def rrf_hybrid_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_from_artifact,
     )
 
-    lex = bm25_from_artifact(spark, sf_dir, k=10, exclude_self=True).select(
-        "query_id", "doc_id", F.col("rank").alias("lex_rank")
-    )
+    qmod = _retrieval_query_mod(spark, sf_dir)
+    lex = bm25_from_artifact(
+        spark, sf_dir, k=10, exclude_self=True, query_mod=qmod
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centers = _ivf_assignments_df(spark, sf_dir)
     den = cosine_topk_ivf(
-        emb.filter(F.col("vec_id") % 20 == 0), emb, "vec_id", "embedding",
+        emb.filter(F.col("vec_id") % qmod == 0), emb, "vec_id", "embedding",
         k=10, n_probe=6, assignments=assigned, centers=centers,
         prune_lists=True,
     )

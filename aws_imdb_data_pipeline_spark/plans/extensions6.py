@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
+from aws_imdb_data_pipeline_spark.plans.relational import stable_avg
 from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
 
 
@@ -100,7 +101,8 @@ def fuzzy_name_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.canonical,
            CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_names,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(AVG(p.p_retailprice), 2) AS avg_price
+           ROUND(SUM(p.p_retailprice), 4) / COUNT(p.p_retailprice)
+               AS avg_price
     FROM part p JOIN canon c ON c.p_name = p.p_name
     GROUP BY c.canonical
     HAVING COUNT(DISTINCT p.p_name) > 1
@@ -161,7 +163,11 @@ def fuzzy_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("p_name").alias("n_names"),
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            # stable_avg form (never round a quotient): the old
+            # ROUND(AVG(2dp money), 2) was the exact tie-prone class
+            # the float-policy audit (r13 verdict #4) exists to catch
+            # — found by its first run, fixed before any divergence.
+            stable_avg("p_retailprice").alias("avg_price"),
         )
         .filter(F.col("n_names") > 1)
     )

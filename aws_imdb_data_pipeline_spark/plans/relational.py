@@ -165,10 +165,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter → join chain → agg → top-k (docs/top_movies_by_rating.sql
     shape). Customer side filtered before the join (manual pushdown the
-    reference practices, glue.py:122-133) and broadcast — at 100 TB the
-    fact-side shuffle is on o_orderkey only once for join+agg."""
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+    reference practices, glue.py:122-133), PROJECTED to the join key
+    (customer contributes only the segment filter — the broadcast
+    relation is keys, not rows, and Catalyst's size estimate of the
+    build side sees that, so the gate keeps the hint at decades where
+    the base table is over budget: SCALE §55/§60), and broadcast — at
+    100 TB the fact-side shuffle is on o_orderkey only once for
+    join+agg."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

@@ -36,10 +36,73 @@ TABLES = (
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# ---------------------------------------------------------------------------
+# Catalog mode (r13 verdict #3): at 100 TB the lake lives in an object
+# store behind a metastore — there is no walkable local filesystem, and
+# the planner facts (table footprint, row counts, column NDVs) come
+# from catalog statistics. register_lake_catalog() registers a lake
+# directory's tables as external catalog tables (ANALYZE'd), records
+# the mapping, and from then on load_table() in that session reads
+# THROUGH the catalog: scans carry the statistics, the CBO can
+# estimate filtered/aggregated build sides, and maybe_broadcast's
+# footprint fact comes from DESCRIBE EXTENDED instead of os.stat.
+# Path mode (the default, zero registration) is unchanged.
+# ---------------------------------------------------------------------------
+_CATALOG_LAKES: dict[str, str] = {}  # abs(sf_dir) -> catalog table prefix
+
+
+def register_lake_catalog(
+    spark: SparkSession,
+    sf_dir: str,
+    analyze_columns: dict[str, tuple[str, ...]] | None = None,
+    tables=None,
+) -> dict[str, str]:
+    """Register every table of ``sf_dir`` as an external catalog table
+    (idempotent; names are content-addressed by the lake path so two
+    lakes never collide), ANALYZE each for sizeInBytes/rowCount, and
+    optionally ANALYZE named columns (``{"customer": ("c_mktsegment",)}``)
+    so the CBO has NDV/histograms for selectivity. Enables CBO for the
+    session — the point of registering is that the ENGINE, not a
+    filesystem walk, owns the planner facts. Returns {table: catalog
+    name}."""
+    import hashlib
+
+    key = os.path.abspath(sf_dir)
+    prefix = "lake_" + hashlib.md5(key.encode()).hexdigest()[:8]
+    out: dict[str, str] = {}
+    for t in tables or TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        cat = f"{prefix}_{t}"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {cat} USING PARQUET "
+            f"LOCATION '{path}'"
+        )
+        spark.sql(f"ANALYZE TABLE {cat} COMPUTE STATISTICS")
+        for col in (analyze_columns or {}).get(t, ()):
+            spark.sql(
+                f"ANALYZE TABLE {cat} COMPUTE STATISTICS FOR COLUMNS {col}"
+            )
+        out[t] = cat
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    _CATALOG_LAKES[key] = prefix
+    return out
+
+
+def catalog_table_name(sf_dir: str, name: str) -> str | None:
+    """The catalog name for a lake table, or None when the lake is not
+    catalog-registered (path mode)."""
+    prefix = _CATALOG_LAKES.get(os.path.abspath(sf_dir))
+    return f"{prefix}_{name}" if prefix else None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table. Column pruning + predicate
     pushdown happen automatically downstream (verify with
-    ``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``)."""
+    ``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+    In catalog mode (register_lake_catalog) the scan goes through the
+    metastore so catalog statistics ride the plan."""
     if name in _NANOS_TS_COLS:
         # Runtime-settable; required even when the session wasn't built
         # by our factory (e.g. the correctness driver's bare session).
@@ -48,7 +111,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # window starts are host-timezone-independent (matches how SQL
         # engines treat these naive parquet timestamps).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    cat = catalog_table_name(sf_dir, name)
+    if cat is not None:
+        df = spark.table(cat)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col not in df.columns:
             continue
@@ -102,8 +169,19 @@ def _broadcast_bytes_budget() -> int:
         return DEFAULT_DIM_BROADCAST_BYTES
 
 
-def table_bytes(sf_dir: str, name: str) -> int:
-    """On-disk bytes of one table (file or partitioned dir), stat only."""
+def table_bytes(
+    sf_dir: str, name: str, spark: SparkSession | None = None
+) -> int:
+    """Footprint in bytes of one table. In catalog mode the fact comes
+    from the metastore's ANALYZE'd statistics (the portable source —
+    an object-store lake has no walkable filesystem); in path mode
+    it's an os.stat walk of the file or partitioned dir."""
+    if spark is not None:
+        cat = catalog_table_name(sf_dir, name)
+        if cat is not None:
+            stats = _catalog_stats_bytes(spark, cat)
+            if stats is not None:
+                return stats
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isfile(path):
         return os.stat(path).st_size
@@ -117,12 +195,53 @@ def table_bytes(sf_dir: str, name: str) -> int:
     return total
 
 
+def _catalog_stats_bytes(spark: SparkSession, cat: str) -> int | None:
+    """sizeInBytes from DESCRIBE TABLE EXTENDED's Statistics row
+    (written by ANALYZE TABLE COMPUTE STATISTICS), None if absent."""
+    try:
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {cat}").collect():
+            if row[0] == "Statistics":
+                return int(row[1].split(" ")[0])
+    except Exception:
+        pass
+    return None
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate of THIS frame's optimized plan —
+    the same statistic autoBroadcastJoinThreshold consults. In path
+    mode it is file bytes scaled by column pruning (no selectivity —
+    a sound compressed-footprint bound); with catalog statistics and
+    CBO it sharpens to filtered/aggregated build-side estimates."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
 def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     """``df`` (the named base table or any projection/filter/aggregate
     of it at up-to-table grain — those only shrink, so the base
     table's footprint is a sound upper bound) with a broadcast hint
-    only when the table fits the broadcast budget; above it, the join
-    strategy is left to AQE's runtime statistics."""
-    if table_bytes(sf_dir, name) <= _broadcast_bytes_budget():
+    only when it fits the broadcast budget; above it, the join
+    strategy is left to AQE's runtime statistics.
+
+    Two planner facts, either one suffices (r13 verdict #3):
+
+    1. the BASE table's footprint (catalog statistics in catalog
+       mode, os.stat in path mode) — one lookup, no Spark job;
+    2. when that conservative bound fails, Catalyst's size estimate
+       of the actual build-side plan — column pruning always narrows
+       it, and catalog column stats + CBO add filter selectivity, so
+       a filtered dimension slice that is genuinely small keeps its
+       hint even when the base table is far over budget (SCALE §55's
+       shipping_priority / order_part_names recovery)."""
+    budget = _broadcast_bytes_budget()
+    if table_bytes(sf_dir, name, spark=df.sparkSession) <= budget:
+        return F.broadcast(df)
+    est = _plan_size_bytes(df)
+    if est is not None and est <= budget:
         return F.broadcast(df)
     return df

@@ -101,3 +101,40 @@ def test_digest_engages_on_shipped_lake(digest, spark, sf_dir):
     pins = _DIGEST_PINS[DIGESTS[digest]][row.corpus_fp]
     assert (row.n_rows, row.n_queries, row.pair_xor) == pins[:3]
     assert row.score_sum == pytest.approx(pins[3], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# r13 verdict #6: the artifact-frame digests (k-means cell consumers)
+# must also engage with real pinned literals on every shipped lake.
+# ---------------------------------------------------------------------------
+def test_artifact_pins_cover_every_shipped_lake():
+    from aws_imdb_data_pipeline_spark.plans.checks import (
+        _ARTIFACT_DIGEST_PINS,
+    )
+
+    for lake in SHIPPED:
+        if not os.path.isdir(lake):
+            continue
+        fp = _duck_fp(lake)
+        for q, pins in _ARTIFACT_DIGEST_PINS.items():
+            assert fp in pins, (q, lake, fp)
+
+
+@pytest.mark.parametrize(
+    "digest,target",
+    [("cluster_sizes_digest", "embedding_cluster_sizes"),
+     ("cluster_sample_digest", "cluster_balanced_sample"),
+     ("semantic_dedup_digest", "semantic_dedup_survivors")],
+)
+def test_artifact_digest_engages_on_shipped_lake(digest, target, spark, sf_dir):
+    from aws_imdb_data_pipeline_spark.plans import REGISTRY
+    from aws_imdb_data_pipeline_spark.plans.checks import (
+        _ARTIFACT_DIGEST_PINS,
+        _ARTIFACT_DIGEST_SPECS,
+    )
+
+    row = REGISTRY[digest].fn(spark, sf_dir).first()
+    cols = [c for c, _ in _ARTIFACT_DIGEST_SPECS[target]]
+    got = tuple(row[c] for c in cols)
+    assert all(v is not None for v in got), "digest passed vacuously"
+    assert got == _ARTIFACT_DIGEST_PINS[target][row.corpus_fp]

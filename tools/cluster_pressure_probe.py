@@ -49,6 +49,10 @@ HEAVY = [
     "dedup_minhash_check",
     "ann_ivf_incremental_check",
     "dedup_incremental_check",
+    # r14: the remaining quadratic-truth family member, added when the
+    # sampled-exact strata (plans/strata.py) made the family completable
+    # under the pressure substrate.
+    "embedding_lsh_neardup_check",
 ]
 
 

@@ -43,8 +43,33 @@ def digest(df, idc, nc, sc):
     ).first()
 
 
+def artifact_digests(spark, dirs) -> None:
+    """r13 verdict #6: measure the artifact-frame digests (k-means
+    cell consumers) with the exact agg specs the pinned oracles use —
+    run twice at different SPARK_GRAFT_CPUS (and once after an
+    .artifacts wipe for the rebuild leg) and diff the lines."""
+    from aws_imdb_data_pipeline_spark.plans.checks import (
+        _ARTIFACT_DIGEST_SPECS,
+    )
+    from aws_imdb_data_pipeline_spark.plans.fingerprints import (
+        embeddings_fingerprint,
+    )
+
+    for d in dirs:
+        fp = embeddings_fingerprint(spark, d)
+        for name, spec in _ARTIFACT_DIGEST_SPECS.items():
+            r = REGISTRY[name].fn(spark, d).agg(
+                *[F.expr(sql).cast("bigint").alias(c) for c, sql in spec]
+            ).first()
+            print(json.dumps({
+                "sf_dir": d, "fp": fp, "query": name,
+                "digest": [r[c] for c, _ in spec],
+            }))
+
+
 def main() -> None:
-    dirs = sys.argv[1:] or [
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dirs = args or [
         "/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
     ]
@@ -52,6 +77,9 @@ def main() -> None:
         "digest-probe", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if "--artifact" in sys.argv:
+        artifact_digests(spark, dirs)
+        return
     for d in dirs:
         for name, (idc, nc, sc) in TWINS.items():
             r = digest(REGISTRY[name].fn(spark, d), idc, nc, sc)

@@ -109,9 +109,21 @@ def _ts_us(days_from, days_to, n, rng, base="1995-01-01"):
     )
 
 
-def generate(out: str, scale: float = 10.0, seed: int = 42) -> None:
+def generate(
+    out: str, scale: float = 10.0, seed: int = 42, tables=None
+) -> None:
+    """``tables`` (default: all) names the subset to write — the r13
+    verdict #5 sf300 money probe only needs the relational money set,
+    and skipping events/documents/embeddings keeps a 1.8B-row lineitem
+    lake inside the host's disk budget. Determinism is per-table
+    (independent seeded streams), so a subset lake's tables are
+    IDENTICAL to the full lake's."""
+    want = set(tables) if tables else None
     os.makedirs(out, exist_ok=True)
     s = lambda n: int(round(n * scale))  # noqa: E731
+
+    def skip(name: str) -> bool:
+        return want is not None and name not in want
 
     # -- fixed dimensions (identical at every sf) ------------------------
     _write(out, "region", pa.table({
@@ -169,13 +181,16 @@ def generate(out: str, scale: float = 10.0, seed: int = 42) -> None:
 
     # -- orders + lineitem (chunked over order ranges) --------------------
     n_ord = s(15000)
-    ow = _ChunkWriter(out, "orders")
-    lw = _ChunkWriter(out, "lineitem")
+    ow = _ChunkWriter(out, "orders") if not skip("orders") else None
+    lw = _ChunkWriter(out, "lineitem") if not skip("lineitem") else None
     for ci, start, n in _chunked(n_ord, ORDERS_PER_CHUNK):
+        if ow is None and lw is None:
+            break
         okey = np.arange(start, start + n, dtype=np.int64)
         rng = np.random.default_rng((seed + 3, ci))
         # o_orderdate: uniform midnight days 1995-01-01..2001-08-01 (2404 d)
-        ow.write(pa.table({
+        if ow is not None:
+            ow.write(pa.table({
             "o_orderkey": okey,
             "o_custkey": rng.integers(0, n_cust, n),
             "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n)],
@@ -194,7 +209,8 @@ def generate(out: str, scale: float = 10.0, seed: int = 42) -> None:
             np.arange(n_li) - np.repeat(np.cumsum(lines) - lines, lines) + 1
         )
         # l_shipdate: independent uniform (observed deltas span +-2400 days)
-        lw.write(pa.table({
+        if lw is not None:
+            lw.write(pa.table({
             "l_orderkey": lkey,
             "l_partkey": rng.integers(0, n_part, n_li),
             "l_suppkey": rng.integers(0, n_supp, n_li),
@@ -207,16 +223,20 @@ def generate(out: str, scale: float = 10.0, seed: int = 42) -> None:
             "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
             "l_shipdate": _ts_us(1, 2500, n_li, rng),
         }))
-    ow.close()
-    lw.close()
+    if ow is not None:
+        ow.close()
+    if lw is not None:
+        lw.close()
 
     # -- events (chunked over disjoint consecutive time slices, so the
     #    concatenation stays globally ts-sorted like the driver lake) ----
     n_ev = s(10000)
     n_users = s(150)
     window_us = 30 * US_PER_DAY  # 2024-01-01 .. 2024-01-31
-    ew = _ChunkWriter(out, "events")
+    ew = _ChunkWriter(out, "events") if not skip("events") else None
     for ci, start, n in _chunked(n_ev, EVENTS_PER_CHUNK):
+        if ew is None:
+            break
         rng = np.random.default_rng((seed + 5, ci))
         lo = window_us * start // n_ev
         hi = window_us * (start + n) // n_ev
@@ -234,7 +254,8 @@ def generate(out: str, scale: float = 10.0, seed: int = 42) -> None:
                 json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n)
             ],
         }))
-    ew.close()
+    if ew is not None:
+        ew.close()
 
     # -- documents ---------------------------------------------------------
     # 31-type vocabulary (30 common + the rare 'dup' marker), 10-100
@@ -249,8 +270,10 @@ def generate(out: str, scale: float = 10.0, seed: int = 42) -> None:
         "query big key row data code plan join".split()
     )
     assert vocab.size == 30
-    dw = _ChunkWriter(out, "documents")
+    dw = _ChunkWriter(out, "documents") if not skip("documents") else None
     for ci, start, n in _chunked(n_doc, DOCS_PER_CHUNK):
+        if dw is None:
+            break
         rng = np.random.default_rng((seed + 6, ci))
         lens = rng.integers(10, 101, n)
         words = vocab[rng.integers(0, 30, int(lens.sum()))]
@@ -278,15 +301,18 @@ def generate(out: str, scale: float = 10.0, seed: int = 42) -> None:
             "source": [f"src{i % 20}" for i in range(start, start + n)],
             "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
         }))
-    dw.close()
+    if dw is not None:
+        dw.close()
 
     # -- embeddings ------------------------------------------------------
     # observed: 64-dim L2-normalized with NO cluster structure (within-
     # label mean cos == cross-label == 0.0) and no >0.9-cos pairs;
     # labels are plain metadata -> normalized gaussians + uniform labels
     n_emb = s(200)
-    vw = _ChunkWriter(out, "embeddings")
+    vw = _ChunkWriter(out, "embeddings") if not skip("embeddings") else None
     for ci, start, n in _chunked(n_emb, EMB_PER_CHUNK):
+        if vw is None:
+            break
         rng = np.random.default_rng((seed + 7, ci))
         V = rng.standard_normal((n, 64)).astype(np.float32)
         V /= np.linalg.norm(V, axis=1, keepdims=True)
@@ -295,7 +321,8 @@ def generate(out: str, scale: float = 10.0, seed: int = 42) -> None:
             "embedding": pa.array(list(V), pa.list_(pa.float32())),
             "label": rng.integers(0, 10, n).astype(np.int32),
         }))
-    vw.close()
+    if vw is not None:
+        vw.close()
 
 
 if __name__ == "__main__":
@@ -304,6 +331,9 @@ if __name__ == "__main__":
     ap.add_argument("--scale", type=float, default=100.0,
                     help="multiplier vs sf0.01 row counts (100 = sf1)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (default: all)")
     a = ap.parse_args()
-    generate(a.out, a.scale, a.seed)
+    generate(a.out, a.scale, a.seed,
+             tables=a.tables.split(",") if a.tables else None)
     print(f"wrote {a.out} at scale {a.scale} (sf{a.scale / 100:g})")
