@@ -474,7 +474,8 @@ def distinct_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
         SELECT 'orders' AS dataset, COUNT(*) AS row_count,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                    AS DOUBLE)
                    AS sum_totalprice
         FROM orders
     )

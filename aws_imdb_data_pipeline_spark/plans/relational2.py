@@ -167,7 +167,8 @@ def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sales_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE)
                AS sum_price,
            COUNT(*) AS n
     FROM lineitem
@@ -210,7 +211,8 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE)
                AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)

@@ -187,7 +187,8 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_revenue_by_flag",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE)
                AS sum_l_extendedprice,
            COUNT(*) AS n_rows
     FROM lineitem

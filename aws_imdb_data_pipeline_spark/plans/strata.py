@@ -35,6 +35,14 @@ unsampled form. Only above sf~1.4 does the stratum engage.
 
 Both engines compute S with exact integer arithmetic (no float
 division), so the stratum membership is identical cross-engine.
+
+This mirrors the reference's own bounded-validation stance: its GE
+suites validate Athena tables through ``LIMIT 5000`` slices with
+partition filters (tests/ge_validate_athena.py:25,54) — verify the
+CONTRACT on a bounded, deterministic subset; never let the
+verification kernel's cost scale with the corpus. The difference
+here is that the subset is hash-free modulus strata mirrored in both
+engines, so the driver's full-value hash gate still applies to it.
 """
 
 from __future__ import annotations

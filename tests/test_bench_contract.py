@@ -169,3 +169,48 @@ def test_detail_total_gate_is_calib_clamped():
     # faster host never scales the threshold DOWN (clamp at 1.0):
     # 1.2x raw growth stays quiet even though the host is 2x faster
     assert check_detail_total(84.0, 70.0, 0.15, 0.3) is None
+
+
+def test_cluster_headline_total_inside_budget():
+    """Cluster-substrate drift gate (r13 verdict #2, SCALE §59): the
+    committed BENCH_DETAIL_CLUSTER.json (bench.py under
+    SPARK_GRAFT_MASTER=local-cluster[2,8,4096] — two 4 GB executor
+    JVMs, Netty shuffle, remote broadcast) must keep its headline
+    total inside a fixed budget, host-normalized with the same
+    >=1.0-clamped calib ratio as the local gate. Two history points
+    anchor the initial budget: r13 11.713 s @ calib 0.104 and the
+    r14 point recorded at this round's HEAD; the local[32] gate never
+    sees this substrate's ~15% Netty/remote-broadcast premium, so
+    without this gate substrate-only drift stays invisible exactly
+    the way local drift was before round 9. Ratchet DOWN with a
+    same-commit SCALE entry, never up without one."""
+    import os
+
+    from bench import HEADLINE
+
+    CLUSTER_BUDGET_SEC = 14.5  # r13 11.713 + the §38/§40 contention
+    # band + one 0.5 s query's headroom; ~12% over the measured point
+    REF_CALIB = 0.19  # same arithmetic-throughput reference as local
+
+    detail = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL_CLUSTER.json",
+    )
+    assert os.path.exists(detail), (
+        "BENCH_DETAIL_CLUSTER.json missing — record the round's "
+        "cluster-substrate bench point (§59)"
+    )
+    with open(detail) as f:
+        d = json.load(f)
+    times = d["queries"]
+    missing = [n for n in HEADLINE if n not in times]
+    assert missing == [], f"headline queries absent: {missing}"
+    calib = d.get("calib_sec")
+    assert calib and calib > 0
+    total = sum(times[n] for n in HEADLINE)
+    allowed = CLUSTER_BUDGET_SEC * max(calib / REF_CALIB, 1.0)
+    assert total <= allowed, (
+        f"cluster-substrate headline total {total:.2f} s @ calib "
+        f"{calib} exceeded {allowed:.2f} s — substrate drift; find it "
+        f"with the §27 protocol or justify a budget change in SCALE.md"
+    )

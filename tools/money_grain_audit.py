@@ -198,6 +198,18 @@ MASS_PROBES: dict[str, tuple] = {
         "scaling",
         "SELECT 15.0 * MAX(LENGTH(text)) FROM documents",
     ),
+    "fuzzy_name_groups": (
+        # canonical-entity grain: the part-name domain is 64 discrete
+        # "adj noun" strings, so group count is FIXED while per-group
+        # mass scales with sf. A canonical group merges names at edit
+        # distance <= 1 — bounded by 8x the largest single-name mass
+        # (the adjective/noun pools admit few 1-edit neighbors).
+        # (Site added r14: fuzzy_name_groups moved to the stable_avg
+        # form, whose ROUND(SUM(money)) numerator this audits.)
+        "fixed",
+        "SELECT 8 * MAX(s) FROM (SELECT SUM(ABS(p_retailprice)) AS s "
+        "FROM part GROUP BY p_name)",
+    ),
 }
 
 

@@ -126,11 +126,13 @@ def generate(
         return want is not None and name not in want
 
     # -- fixed dimensions (identical at every sf) ------------------------
-    _write(out, "region", pa.table({
+    if not skip("region"):
+        _write(out, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
     }))
-    _write(out, "nation", pa.table({
+    if not skip("nation"):
+        _write(out, "nation", pa.table({
         "n_nationkey": pa.array(range(25), pa.int32()),
         "n_name": [f"NATION_{i}" for i in range(25)],
         "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
@@ -139,7 +141,8 @@ def generate(
     # -- customer ---------------------------------------------------------
     rng = np.random.default_rng(seed)
     n_cust = s(1500)
-    _write(out, "customer", pa.table({
+    if not skip("customer"):
+        _write(out, "customer", pa.table({
         "c_custkey": np.arange(n_cust, dtype=np.int64),
         "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
         "c_nationkey": rng.integers(0, 25, n_cust).astype(np.int32),
@@ -152,7 +155,8 @@ def generate(
     # -- supplier ---------------------------------------------------------
     rng = np.random.default_rng(seed + 1)
     n_supp = s(100)
-    _write(out, "supplier", pa.table({
+    if not skip("supplier"):
+        _write(out, "supplier", pa.table({
         "s_suppkey": np.arange(n_supp, dtype=np.int64),
         "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
         "s_nationkey": rng.integers(0, 25, n_supp).astype(np.int32),
@@ -166,7 +170,8 @@ def generate(
     nouns = np.array(["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"])
     name_a = adjs[rng.integers(0, 8, n_part)]
     name_n = nouns[rng.integers(0, 8, n_part)]
-    _write(out, "part", pa.table({
+    if not skip("part"):
+        _write(out, "part", pa.table({
         "p_partkey": np.arange(n_part, dtype=np.int64),
         "p_name": np.char.add(np.char.add(name_a, " "), name_n),
         "p_brand": np.array([f"Brand#{i}" for i in range(1, 26)])[
