@@ -48,7 +48,7 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 # footprint fact comes from DESCRIBE EXTENDED instead of os.stat.
 # Path mode (the default, zero registration) is unchanged.
 # ---------------------------------------------------------------------------
-_CATALOG_LAKES: dict[str, str] = {}  # abs(sf_dir) -> catalog table prefix
+_CATALOG_LAKES: dict[str, dict[str, str]] = {}  # abs(sf_dir) -> {table: catalog name}
 
 
 def register_lake_catalog(
@@ -86,15 +86,17 @@ def register_lake_catalog(
             )
         out[t] = cat
     spark.conf.set("spark.sql.cbo.enabled", "true")
-    _CATALOG_LAKES[key] = prefix
+    # merge: a partial registration (tables= subset) must not claim the
+    # lake's other tables — load_table falls back to path scans for
+    # anything not actually registered
+    _CATALOG_LAKES.setdefault(key, {}).update(out)
     return out
 
 
 def catalog_table_name(sf_dir: str, name: str) -> str | None:
-    """The catalog name for a lake table, or None when the lake is not
-    catalog-registered (path mode)."""
-    prefix = _CATALOG_LAKES.get(os.path.abspath(sf_dir))
-    return f"{prefix}_{name}" if prefix else None
+    """The catalog name for a lake table, or None when that table is
+    not catalog-registered (path mode)."""
+    return _CATALOG_LAKES.get(os.path.abspath(sf_dir), {}).get(name)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -231,17 +233,28 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     Two planner facts, either one suffices (r13 verdict #3):
 
     1. the BASE table's footprint (catalog statistics in catalog
-       mode, os.stat in path mode) — one lookup, no Spark job;
+       mode, os.stat in path mode) — one lookup, no Spark job.
+       Compared against the COMPRESSED-bytes budget (32 MB default);
     2. when that conservative bound fails, Catalyst's size estimate
        of the actual build-side plan — column pruning always narrows
-       it, and catalog column stats + CBO add filter selectivity, so
-       a filtered dimension slice that is genuinely small keeps its
-       hint even when the base table is far over budget (SCALE §55's
-       shipping_priority / order_part_names recovery)."""
+       it, and catalog column stats + CBO add filter selectivity.
+       This estimate is in UNCOMPRESSED relation bytes (rowCount x
+       logical row width — the unit autoBroadcastJoinThreshold
+       consults), so it is compared against the budget's documented
+       relation-size meaning: 4x the on-disk budget, the midpoint of
+       the "~3-5x that decompressed" calibration in the gate
+       rationale above. A filtered/projected dimension slice that is
+       genuinely small therefore keeps its hint even when the base
+       table is far over budget (SCALE §55/§63: shipping_priority
+       keys-only side, 57 MB relation est, hints again at sf100;
+       order_part_names' 66 MB name projection likewise; the full
+       part frame at ~150 MB+ stays with AQE — exactly the §55
+       measured win/loss split). Both facts scale with the one
+       $SPARK_GRAFT_BROADCAST_BYTES knob."""
     budget = _broadcast_bytes_budget()
     if table_bytes(sf_dir, name, spark=df.sparkSession) <= budget:
         return F.broadcast(df)
     est = _plan_size_bytes(df)
-    if est is not None and est <= budget:
+    if est is not None and est <= 4 * budget:
         return F.broadcast(df)
     return df

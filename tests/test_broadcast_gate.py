@@ -134,8 +134,11 @@ def test_plan_estimate_recovers_filtered_build_side(
     base = table_bytes(sf_dir, "customer")
     est = _plan_size_bytes(slim)
     assert est is not None and 0 < est < base
-    # budget strictly between the slim estimate and the base footprint
-    budget = (est + base) // 2
+    # a budget whose 4x relation-bytes form admits the slim estimate
+    # (fact #2 fires) while the base footprint stays over it (fact #1
+    # does not) and the full frame's estimate stays over 4x it
+    budget = est // 4 + 1
+    assert budget < base
     monkeypatch.setenv("SPARK_GRAFT_BROADCAST_BYTES", str(budget))
     li = load_table(spark, sf_dir, "orders")
     hinted = li.join(
@@ -144,7 +147,7 @@ def test_plan_estimate_recovers_filtered_build_side(
     )
     assert "ResolvedHint" in _analyzed(hinted)
     full_est = _plan_size_bytes(cust)
-    assert full_est is not None and full_est > budget
+    assert full_est is not None and full_est > 4 * budget
     unhinted = li.join(
         maybe_broadcast(cust, sf_dir, "customer"),
         li.o_custkey == cust.c_custkey,
