@@ -213,8 +213,16 @@ def _train_local(
                 else:
                     out.append(x)
             state[w] = out
-    final = vocab.sparkSession.createDataFrame(
-        [(w, wc[w], state[w]) for w in wc],
+    # vocabulary-sized driver list: keep createDataFrame (too many
+    # cells for a literal plan) but hand it to Spark as TWO pickled
+    # slices instead of defaultParallelism — each slice evaluation is
+    # a Python worker round-trip, and 32 near-empty slices cost ~30
+    # round-trips per downstream broadcast/join build for nothing
+    spark = vocab.sparkSession
+    final = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(w, wc[w], state[w]) for w in wc], 2
+        ),
         "word string, cnt long, symbols array<string>",
     )
     return merges, final

@@ -423,9 +423,14 @@ def build_minhash_band_index(
     sh = shingle_docs(docs, id_col, text_col, k=k)
     sig = minhash_signatures(sh, id_col, "__shingles", num_hashes)
     banded = band_buckets(sig, id_col, "__sig", bands, rows_per_band)
-    banded.select(F.col("__id").alias("id"), "bucket", "band").write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(_os.path.join(path, "bands"))
+    # ~1 file per band dir (lake.py write_partitioned pattern): the
+    # serve path unions per-band bucket joins, and every sliver file
+    # is one more scan task per consumer (OPTIMIZATION_r14.md)
+    banded.select(
+        F.col("__id").alias("id"), "bucket", "band"
+    ).repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(_os.path.join(path, "bands"))
     meta = {
         "k": k,
         "num_hashes": num_hashes,

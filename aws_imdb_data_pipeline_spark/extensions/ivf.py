@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.extensions.similarity import _dot, _to_double
+from aws_imdb_data_pipeline_spark.operators.localframe import local_literal_frame
 from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
 
 
@@ -99,11 +100,13 @@ def build_ivf_index(
     assigned, centers = build_ivf_assignments(
         vectors, id_col, vec_col, n_lists, seed, max_iter, fit_fraction
     )
+    # ~1 file per cell dir (lake.py write_partitioned pattern): fewer
+    # scan tasks per probed cell on every serve call
     assigned.select(
         F.col(id_col).alias("id"), F.col("__arr").alias("vec"), "__list"
-    ).write.mode("overwrite").partitionBy("__list").parquet(
-        _os.path.join(path, "vectors")
-    )
+    ).repartition("__list").write.mode("overwrite").partitionBy(
+        "__list"
+    ).parquet(_os.path.join(path, "vectors"))
     assigned.unpersist()
     return {
         "centers": centers,
@@ -280,8 +283,13 @@ def cosine_topk_ivf(
         "__list",
     )
 
-    centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], ["__list", "__centroid"]
+    # literal plan, not a Python-RDD scan (operators/localframe.py):
+    # rebuilt under a broadcast per serve call; the createDataFrame
+    # form pays one Python worker round-trip per RDD slice
+    centroids = local_literal_frame(
+        spark,
+        [(i, c) for i, c in enumerate(centers)],
+        "__list bigint, __centroid array<double>",
     )
     q = queries.select(F.col(id_col).alias("query_id"), _to_double(vec_col).alias("__qv"))
     # rank cells per query by euclidean distance to the centroid

@@ -186,7 +186,14 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             rows.append(
                 (i, kind, payload, "video/x-framepack", 8, 6, n_frames * 40)
             )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    # 4 pickled slices, not defaultParallelism: every evaluation of a
+    # parallelized local frame is one Python round-trip per slice, and
+    # the corpus is re-read under several consumers per query. The
+    # repartition(4, "media_id") below keeps the deterministic hash
+    # placement downstream operators rely on.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), MEDIA_SCHEMA
+    ).repartition(4, "media_id")
 
 
 RESIZED_SCHEMA = StructType(

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.extensions.ivf import build_ivf_assignments
 from aws_imdb_data_pipeline_spark.extensions.similarity import _dot, _to_double
+from aws_imdb_data_pipeline_spark.operators.localframe import local_literal_frame
 from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
 
 
@@ -217,9 +218,13 @@ def build_pq_index(
         "__codes",
         "__list",
     )
-    encoded.write.mode("overwrite").partitionBy("__list").parquet(
-        os.path.join(path, "vectors")
-    )
+    # compact to ~1 file per cell dir (the lake.py write_partitioned
+    # pattern): the serve path scans probed cells, and each extra
+    # sliver file is an extra scan task — with the pandas ADC kernel
+    # downstream, an extra Python-boundary task (OPTIMIZATION_r14.md)
+    encoded.repartition("__list").write.mode("overwrite").partitionBy(
+        "__list"
+    ).parquet(os.path.join(path, "vectors"))
     assigned.unpersist()
     meta = {
         "dim": dim,
@@ -286,8 +291,14 @@ def _serve(
     m = len(codebooks)
     sub = dim // m
 
-    centroids = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], ["__list", "__centroid"]
+    # literal plan, not a Python-RDD scan: this frame is rebuilt under
+    # a broadcast on every serve call, and createDataFrame's 32-slice
+    # pickled RDD costs a Python worker round-trip per slice
+    # (operators/localframe.py; measured 0.6-1.1 s -> 0.33 s per build)
+    centroids = local_literal_frame(
+        spark,
+        [(i, c) for i, c in enumerate(centers)],
+        "__list bigint, __centroid array<double>",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _to_double(vec_col).alias("__qv")

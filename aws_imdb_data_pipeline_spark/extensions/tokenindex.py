@@ -98,6 +98,10 @@ def token_stats(
     params = dict(TOKEN_STATS_PARAMS, table=table, id=id_col, text=text_col)
 
     def build(path: str, fp: str) -> dict:
+        from aws_imdb_data_pipeline_spark.lifecycle.artifacts import (
+            sized_write,
+        )
+
         docs = load_table(spark, sf_dir, table).select(id_col, text_col)
         words = _words(text_col)
         toks = docs.select(
@@ -110,19 +114,25 @@ def token_stats(
             .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
             .withColumn("lword", F.lower("word"))
         )
-        tf.write.mode("overwrite").parquet(os.path.join(path, "tf"))
+        # sized_write: artifact files coalesce by advisory bytes, not
+        # parallelism — every posting probe re-scans these files, and
+        # sliver files mean sliver scan tasks (guide §6)
+        with sized_write(spark):
+            tf.write.mode("overwrite").parquet(os.path.join(path, "tf"))
         tf_p = spark.read.parquet(os.path.join(path, "tf"))
         tfl = tf_p.groupBy(id_col, "lword").agg(
             F.sum("tf").alias("tf"), F.first("dl").alias("dl")
         )
-        tfl.write.mode("overwrite").parquet(os.path.join(path, "tfl"))
+        with sized_write(spark):
+            tfl.write.mode("overwrite").parquet(os.path.join(path, "tfl"))
         tfl_p = spark.read.parquet(os.path.join(path, "tfl"))
-        tfl_p.groupBy("lword").agg(
-            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-        ).write.mode("overwrite").parquet(os.path.join(path, "dfl"))
-        tf_p.groupBy("word").agg(F.sum("tf").alias("c")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "vocab"))
+        with sized_write(spark):
+            tfl_p.groupBy("lword").agg(
+                F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+            ).write.mode("overwrite").parquet(os.path.join(path, "dfl"))
+            tf_p.groupBy("word").agg(F.sum("tf").alias("c")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "vocab"))
         # scalars: N counts ALL docs (zero-token ones have no tf rows
         # but still belong in N and the avgdl denominator); sum_dl from
         # the per-doc dl — both exact integers for the marker

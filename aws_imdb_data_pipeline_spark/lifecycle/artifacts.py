@@ -53,6 +53,44 @@ def artifacts_root() -> str:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def sized_write(spark, advisory: str = "64m"):
+    """Scope for artifact/lake WRITES: let AQE coalesce the final
+    stage by ADVISORY SIZE instead of parallelism.
+
+    The session default keeps ``parallelismFirst=true`` (and r14
+    lowers ``minPartitionSize`` to 64k) because COMPUTE stages in this
+    engine are often compute-dense at tiny byte sizes — but that same
+    setting makes a write stage emit one small file per core-sized
+    sliver (guide §6's small-files problem twice over: driver listing
+    on every later read, per-file open cost on every scan task, and
+    here each tiny artifact file also becomes its own Python-boundary
+    task in the pandas-kernel serve paths). Inside this scope the
+    write stage coalesces to ~``advisory`` bytes per output file;
+    everything outside is untouched. Restores prior conf on exit."""
+    pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = {}
+    for k in (pf, adv):
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    spark.conf.set(pf, "false")
+    spark.conf.set(adv, advisory)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def artifact_dir(kind: str, sf_dir: str) -> str:
     """Artifact path for (kind, data dir).
 

@@ -14,6 +14,7 @@ from aws_imdb_data_pipeline_spark.plans.extensions4 import (
     _QUERY_MOD_SQL,
     _QUERY_PARAMS_CTE,
 )
+from aws_imdb_data_pipeline_spark.operators.localframe import local_literal_frame
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.plans.strata import (
     TRUTH_DOC_CAP,
@@ -89,8 +90,8 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(Window.orderBy(F.desc("cf"), F.col("lword"))),
     )
-    sizes = spark.createDataFrame(
-        [(v,) for v in _COVERAGE_SIZES], "vocab_size int"
+    sizes = local_literal_frame(
+        spark, [(v,) for v in _COVERAGE_SIZES], "vocab_size int"
     )
     return (
         ranked.join(F.broadcast(sizes), F.col("rn") <= F.col("vocab_size"))
@@ -445,7 +446,8 @@ def corpus_hash_split_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = a.groupBy("split").agg(F.count(F.lit(1)).alias("__cnt"))
     tot = a.agg(F.count(F.lit(1)).alias("__N"))
-    targets = spark.createDataFrame(
+    targets = local_literal_frame(
+        spark,
         [("test", 0.05), ("train", 0.90), ("val", 0.05)],
         "split string, target_frac double",
     )

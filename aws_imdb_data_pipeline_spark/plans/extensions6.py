@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aws_imdb_data_pipeline_spark.operators.localframe import local_literal_frame
 from aws_imdb_data_pipeline_spark.plans.registry import register
 from aws_imdb_data_pipeline_spark.plans.relational import stable_avg
 from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
@@ -543,7 +544,8 @@ def corpus_weighted_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
 
-    return spark.createDataFrame(
+    return local_literal_frame(
+        spark,
         [
             (
                 200,
@@ -584,8 +586,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = token_stats(spark, sf_dir)
     wc = ts.dfl().select("lword", "cf")  # word -> corpus frequency
     merges, _ = train_bpe(None, n_merges=8, min_count=2, word_counts=wc)
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, pair_count long"
+    return local_literal_frame(
+        spark, merges, "step int, left string, right string, pair_count long"
     ).orderBy("step")
 
 
@@ -664,7 +666,8 @@ def bpe_train_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     after_syms = v1.agg(F.sum(F.size("symbols"))).collect()[0][0]
 
     step1 = m1[0]
-    return spark.createDataFrame(
+    return local_literal_frame(
+        spark,
         [
             (
                 step1[1],
@@ -770,7 +773,8 @@ def bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         set(want) - set(got)
     )
 
-    return spark.createDataFrame(
+    return local_literal_frame(
+        spark,
         [
             (
                 stats["n_words"],

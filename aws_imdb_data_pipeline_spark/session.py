@@ -23,6 +23,20 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing sizes partitions by BYTES, but this engine's
+    # candidate-pair kernels (exact-cosine verify, per-cell SemDeDup
+    # scans, banded hamming) carry kilobytes of ids/vectors per second
+    # of compute — at the default 1 MB floor a 5 MB/5 s-CPU verify
+    # stage coalesces to ~5 tasks and serializes on any cluster size
+    # (measured at sf0.1: embedding_near_dup_lsh wall 3.6->1.8 s,
+    # semantic_dedup_check 4.0->3.3 s with the floor at 64k;
+    # per-stage evidence in OPTIMIZATION_r14.md). 64k only changes
+    # stages whose TOTAL input is under cores x 1 MB — compute-dense
+    # small exchanges — and leaves every data-proportional stage
+    # untouched at any scale. Env knob for A/B.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_MIN_PARTITION_SIZE", "65536"
+    ),
     # Bounded output files (reference: glue.py:35).
     "spark.sql.files.maxRecordsPerFile": "5000000",
     # Idempotent run_date replacement (replaces the reference's
