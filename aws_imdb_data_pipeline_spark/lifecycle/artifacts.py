@@ -73,12 +73,10 @@ def sized_write(spark, advisory: str = "64m"):
     everything outside is untouched. Restores prior conf on exit."""
     pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    old = {}
-    for k in (pf, adv):
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
+    # get(k, None) is None when the key was never explicitly SET (the
+    # built-in default does not count) — restore-to-unset must not pin
+    # today's built-in default into the session
+    old = {k: spark.conf.get(k, None) for k in (pf, adv)}
     spark.conf.set(pf, "false")
     spark.conf.set(adv, advisory)
     try:

@@ -77,10 +77,22 @@ def local_literal_frame(
             *[
                 _lit_cell(v, f.dataType).alias(f.name)
                 for v, f in zip(row, fields)
-            ]
+            ],
+            F.lit(True).alias("__keep"),
         )
         for row in rows
     ]
-    return spark.range(0, 1, 1, 1).select(
-        F.inline(F.array(*structs))
+    # one hidden all-NULL sentinel row, filtered back out: literal
+    # columns are otherwise non-nullable, and the frame must carry the
+    # same NULLABLE schema createDataFrame declares (bare literals
+    # would silently tighten converted queries' declared schemas)
+    sentinel = F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields],
+        F.lit(False).alias("__keep"),
+    )
+    return (
+        spark.range(0, 1, 1, 1)
+        .select(F.inline(F.array(*structs, sentinel)))
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )
