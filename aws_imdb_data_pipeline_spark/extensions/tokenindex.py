@@ -114,17 +114,19 @@ def token_stats(
             .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
             .withColumn("lword", F.lower("word"))
         )
-        # sized_write: artifact files coalesce by advisory bytes, not
-        # parallelism — every posting probe re-scans these files, and
-        # sliver files mean sliver scan tasks (guide §6)
-        with sized_write(spark):
-            tf.write.mode("overwrite").parquet(os.path.join(path, "tf"))
+        # tf/tfl keep the parallelism-first write (NO sized_write):
+        # these posting frames are the SCAN INPUT of the BM25 candidate
+        # explosion, whose stage width equals the scan's split count —
+        # a single-file single-row-group artifact serialized the 240 MB
+        # explode stage onto 2 tasks (bm25_zipf_retrieval 7 s -> 34 s,
+        # OPTIMIZATION_r14.md). Many ~core-count files are the RIGHT
+        # layout for a frame consumed by compute-amplifying scans.
+        tf.write.mode("overwrite").parquet(os.path.join(path, "tf"))
         tf_p = spark.read.parquet(os.path.join(path, "tf"))
         tfl = tf_p.groupBy(id_col, "lword").agg(
             F.sum("tf").alias("tf"), F.first("dl").alias("dl")
         )
-        with sized_write(spark):
-            tfl.write.mode("overwrite").parquet(os.path.join(path, "tfl"))
+        tfl.write.mode("overwrite").parquet(os.path.join(path, "tfl"))
         tfl_p = spark.read.parquet(os.path.join(path, "tfl"))
         with sized_write(spark):
             tfl_p.groupBy("lword").agg(

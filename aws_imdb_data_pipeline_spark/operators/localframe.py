@@ -1,25 +1,30 @@
-"""Driver-literal frames without the Python-RDD scan.
+"""Driver-local frames without the per-core Python-RDD scan.
 
 ``spark.createDataFrame(small_python_list)`` parallelizes the rows into
 ``defaultParallelism`` pickled RDD slices, so EVERY evaluation of the
 frame — typically a broadcast build under a join — runs one Python
 worker round-trip per slice: 32 Python tasks to ship 16 centroid rows
-on the local rig, and (cores)x on any cluster. Measured at sf0.1
-(OPTIMIZATION_r14.md): broadcasting a 16-row centroid frame costs
-0.62-1.12 s as a createDataFrame vs 0.33 s as a literal plan, and the
-pattern repeats at every probe/serve construction.
+on the local rig, and (cores)x on any cluster.
 
-:func:`local_literal_frame` plans the same rows as a single-partition
-JVM-only literal (``range(1) -> Generate inline(array<struct>)``): no
-Python worker, no pickle, one task. Values and schema are identical —
-every column is explicitly cast to the caller's schema, exactly as
-``createDataFrame`` would coerce.
+Two replacements, routed automatically by :func:`local_literal_frame`
+on the frame's literal-cell count (array elements counted):
 
-Use it for SMALL frames only (query batches, centroid tables, size/
-target literals, one-row results): the rows become plan literals, so
-a frame with more than a few thousand scalar cells belongs in
-``createDataFrame`` (plan size grows with the literal count). That
-cutoff is asserted, not prose.
+- **literal plan** (small scalar frames — size/target literals,
+  one-row check results): rows become a single-partition JVM
+  ``range(1) -> Generate inline(array<struct>)``. No Python worker, no
+  pickle, no task fan-out. Measured: broadcasting a 16-row frame costs
+  0.33 s vs 0.62-1.12 s for the 32-slice createDataFrame.
+- **single-slice createDataFrame** (wider frames — centroid tables
+  with 64-float payloads): plan-literal ANALYSIS cost grows with the
+  cell count and overtakes the execution win (measured on the IVF
+  serve path: literal 2.9 s vs single-slice 1.4 s end-to-end), so
+  bigger frames keep createDataFrame but as ONE pickled slice — one
+  Python round-trip per evaluation instead of one per core.
+
+Values and schema are identical to ``createDataFrame(rows, schema)``
+in both regimes (the literal branch casts every cell to the declared
+schema and keeps columns nullable via a filtered-out all-NULL sentinel
+row).
 """
 
 from __future__ import annotations
@@ -28,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, StructType
 
-_MAX_LITERAL_CELLS = 20_000
+# routing threshold between the literal plan and the single-slice
+# pickled form, in literal cells (array/struct elements counted):
+# measured crossover on the IVF serve path sits near the 16x64
+# centroid table (1k cells, literal loses); 3-row scalar frames
+# (literal wins) are two orders below it
+_LITERAL_CELL_CUTOFF = 256
 
 
 def _parse_schema(spark: SparkSession, schema: str | StructType) -> StructType:
@@ -52,26 +62,42 @@ def _lit_cell(value, dtype: DataType):
     return F.lit(value).cast(dtype)
 
 
+def _cell_count(rows: list[tuple]) -> int:
+    n = 0
+    for row in rows:
+        for v in row:
+            n += len(v) if isinstance(v, (list, tuple)) else 1
+    return n
+
+
+def single_slice_frame(
+    spark: SparkSession, rows: list[tuple], schema: str | StructType
+) -> DataFrame:
+    """``createDataFrame`` over ONE pickled slice: identical values and
+    schema, one Python round-trip per evaluation instead of one per
+    core."""
+    struct_schema = _parse_schema(spark, schema)
+    if not rows:
+        return spark.createDataFrame(rows, struct_schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), struct_schema
+    )
+
+
 def local_literal_frame(
     spark: SparkSession, rows: list[tuple], schema: str | StructType
 ) -> DataFrame:
-    """``rows`` as a single-partition literal DataFrame with ``schema``
-    — value-identical to ``spark.createDataFrame(rows, schema)`` but
-    planned as a JVM literal Generate instead of a Python RDD scan.
-
-    Falls back to ``createDataFrame`` for empty input (no literal to
-    explode) and refuses frames beyond the literal-cell budget."""
+    """``rows`` as a single-partition DataFrame with ``schema`` —
+    value-identical to ``spark.createDataFrame(rows, schema)`` but
+    planned either as a JVM literal Generate (small frames) or a
+    single-slice pickled RDD (wider frames), never as one RDD slice
+    per core. See the module docstring for the measured crossover."""
     struct_schema = _parse_schema(spark, schema)
     fields = struct_schema.fields
     if not rows:
         return spark.createDataFrame(rows, struct_schema)
-    n_cells = len(rows) * len(fields)
-    if n_cells > _MAX_LITERAL_CELLS:
-        raise ValueError(
-            f"local_literal_frame: {n_cells} literal cells exceeds "
-            f"{_MAX_LITERAL_CELLS} — a frame this large belongs in "
-            "createDataFrame (plan literals are not free)"
-        )
+    if _cell_count(rows) > _LITERAL_CELL_CUTOFF:
+        return single_slice_frame(spark, rows, struct_schema)
     structs = [
         F.struct(
             *[

@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.operators.localframe import (
-    _MAX_LITERAL_CELLS,
+    _LITERAL_CELL_CUTOFF,
     local_literal_frame,
 )
 
@@ -50,10 +50,22 @@ def test_empty_rows_fall_back(spark):
     assert [f.name for f in df.schema.fields] == ["a", "b"]
 
 
-def test_cell_budget_enforced(spark):
-    n = _MAX_LITERAL_CELLS + 1
-    with pytest.raises(ValueError, match="literal cells"):
-        local_literal_frame(spark, [(i,) for i in range(n)], "x int")
+def test_wide_frames_route_to_single_slice(spark):
+    """Above the literal-cell cutoff (array elements counted) the
+    helper must route to a SINGLE-slice pickled frame: plan-literal
+    analysis cost overtakes the execution win there, but the per-core
+    slice fan-out must never come back."""
+    rows = [(i, [float(j) for j in range(64)]) for i in range(16)]
+    assert 16 * 65 > _LITERAL_CELL_CUTOFF
+    df = local_literal_frame(spark, rows, "id bigint, vec array<double>")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # createDataFrame form...
+    assert df.rdd.getNumPartitions() == 1  # ...but one slice, not 32
+    ref = spark.createDataFrame(rows, "id bigint, vec array<double>")
+    assert df.schema == ref.schema
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
 
 
 def test_sized_write_restores_conf(spark):
