@@ -54,6 +54,46 @@ def _words(text_col: str) -> "F.Column":
     return F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
 
 
+# Posting frames (tf/tfl) are the scan input of the BM25 candidate
+# explosion: each posting row fans out to one candidate row per
+# matching query term, so the EXPLOSION stage's width equals the scan's
+# split count — and tiny single-row-group parquet files cannot be split
+# further by maxPartitionBytes. The builder writes "many ~core-count
+# files" (see token_stats.build), but the builder is whichever session
+# FIRST touched a stale artifact: a narrower session (the local[8] test
+# rig, a small ingest job) leaves a layout that serializes every wider
+# consumer — measured on this rig: a 10-file tf (built under local[8])
+# ran bm25_zipf_check at 20.8 s where the 32-file layout runs it ~3x
+# faster on equal host draws. The guard below is the consumer-side fix:
+# when the on-disk layout is BOTH narrower than this session's
+# parallelism AND small enough that a round-robin exchange is near-free
+# (posting frames at sf0.1: ~2-16 MB), widen it explicitly. At scale
+# the artifact is orders of magnitude over the byte cap and the scan is
+# already wide — the guard self-disables, adding zero exchanges.
+_POSTING_WIDEN_BYTES_CAP = 256 << 20
+
+
+def _posting_scan(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    try:
+        files = [
+            e
+            for e in os.scandir(path)
+            if e.name.endswith(".parquet") and not e.name.startswith(".")
+        ]
+        nfiles = len(files)
+        nbytes = sum(e.stat().st_size for e in files)
+    except OSError:
+        return df
+    width = spark.sparkContext.defaultParallelism
+    if 0 < nfiles < width and nbytes < _POSTING_WIDEN_BYTES_CAP:
+        # round-robin: downstream consumers are joins/aggregates whose
+        # results are partitioning-independent; AQE honors an explicit
+        # user repartition count (no re-coalesce)
+        df = df.repartition(width)
+    return df
+
+
 @dataclass(frozen=True)
 class TokenStats:
     """Handle on a built token-stats artifact: lazy frame readers plus
@@ -71,10 +111,10 @@ class TokenStats:
         return self.sum_dl / self.n_docs if self.n_docs else 0.0
 
     def tf(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "tf"))
+        return _posting_scan(self.spark, os.path.join(self.path, "tf"))
 
     def tfl(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "tfl"))
+        return _posting_scan(self.spark, os.path.join(self.path, "tfl"))
 
     def dfl(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "dfl"))

@@ -99,6 +99,27 @@ def catalog_table_name(sf_dir: str, name: str) -> str | None:
     return _CATALOG_LAKES.get(os.path.abspath(sf_dir), {}).get(name)
 
 
+# Resolved-relation memo: (applicationId, lake path, table, catalog
+# name) -> the lazy DataFrame. spark.read.parquet re-lists the
+# directory and re-reads a footer for schema inference on EVERY call —
+# pure driver-side latency paid once per table per query construction
+# (~20-50 ms quiet-host, and the registry constructs each query fresh
+# per evaluation). Spark's own SessionCatalog caches the resolved
+# relation for catalog tables; this memo gives path-mode scans the
+# same once-per-session resolution. It caches a LAZY PLAN, never data:
+# every evaluation still scans parquet. Keyed by applicationId so a
+# stopped/recreated context never sees another context's plans, and by
+# catalog name so register_lake_catalog() naturally invalidates the
+# path-mode entry. clear_table_cache() for code that rewrites a lake
+# dir in place within one application (no shipped path does).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop every memoized table relation (see _TABLE_CACHE)."""
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table. Column pruning + predicate
     pushdown happen automatically downstream (verify with
@@ -108,12 +129,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _NANOS_TS_COLS:
         # Runtime-settable; required even when the session wasn't built
         # by our factory (e.g. the correctness driver's bare session).
+        # Set on every call (not just cache miss): the conf governs
+        # EXECUTION of the vectorized reader, not only schema inference.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # date_trunc/window operate in session-local time; pin UTC so
         # window starts are host-timezone-independent (matches how SQL
         # engines treat these naive parquet timestamps).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     cat = catalog_table_name(sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        cat,
+    )
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if cat is not None:
         df = spark.table(cat)
     else:
@@ -128,6 +160,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(dtype, TimestampNTZType):
             # naive micros: same wall time, session tz already pinned UTC
             df = df.withColumn(col, F.to_timestamp(F.col(col)))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -128,3 +128,34 @@ def test_same_basename_different_parents_get_distinct_slots():
     assert a != b
     assert os.path.basename(a).startswith("sf0.1")
     assert os.path.basename(b).startswith("sf0.1")
+
+
+def test_posting_scan_widens_narrow_small_layouts(spark, tmp_path):
+    """The posting-frame reader (tokenindex._posting_scan) round-robin
+    widens a layout that is BOTH narrower than the session's
+    parallelism AND under the byte cap — the consumer-side guard
+    against a narrow builder session serializing the BM25 candidate
+    explosion — and leaves wide-enough or large layouts untouched.
+    Rows are identical either way (downstream consumers are
+    partitioning-independent joins/aggregates)."""
+    import aws_imdb_data_pipeline_spark.extensions.tokenindex as ti
+
+    path = str(tmp_path / "tf")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS tf")
+    df.coalesce(2).write.parquet(path)  # 2 files < defaultParallelism
+
+    wide = ti._posting_scan(spark, path)
+    width = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == width
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, spark.read.parquet(path).collect())
+    )
+
+    # above the byte cap the guard must self-disable (no exchange)
+    old = ti._POSTING_WIDEN_BYTES_CAP
+    try:
+        ti._POSTING_WIDEN_BYTES_CAP = 0
+        bare = ti._posting_scan(spark, path)
+        assert bare.rdd.getNumPartitions() < width
+    finally:
+        ti._POSTING_WIDEN_BYTES_CAP = old

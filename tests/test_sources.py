@@ -324,3 +324,33 @@ def test_cluster_by_zone_map_row_group_stats(spark, tmp_path):
         (F.col("ts_s") >= lo) & (F.col("ts_s") < hi)
     ).count()
     assert n == m > 0
+
+
+def test_load_table_memoizes_relation_per_application(spark, sf_dir):
+    """load_table resolves a lake table once per (application, lake,
+    table): the second call returns the SAME lazy DataFrame (no
+    re-listing / footer re-read at construction), clear_table_cache()
+    forces a fresh resolution, and the memoized plan evaluates to the
+    same rows as a bare spark.read.parquet of the file."""
+    import os
+
+    from aws_imdb_data_pipeline_spark.sources.tables import (
+        clear_table_cache,
+        load_table,
+    )
+
+    clear_table_cache()
+    a = load_table(spark, sf_dir, "nation")
+    b = load_table(spark, sf_dir, "nation")
+    assert a is b  # memo hit: identical object, zero re-resolution
+    clear_table_cache()
+    c = load_table(spark, sf_dir, "nation")
+    assert c is not a  # cleared: fresh relation
+    fresh = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))
+    # events carries the nanos->timestamp normalization; the memoized
+    # frame must keep the normalized schema on the hit path too
+    e1 = load_table(spark, sf_dir, "events")
+    e2 = load_table(spark, sf_dir, "events")
+    assert e1 is e2
+    assert dict(e1.dtypes)["ts"] == "timestamp"
