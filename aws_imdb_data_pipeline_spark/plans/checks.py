@@ -52,7 +52,10 @@ from aws_imdb_data_pipeline_spark.plans.strata import (
     linear_modulus_sql,
     quadratic_modulus_sql,
 )
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import (
+    load_table,
+    table_rows,
+)
 
 
 @register(
@@ -390,11 +393,11 @@ def dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # Deterministic sampled-exact stratum (see docstring): one tiny
-    # count job at plan time — deliberate, like pairs_est below; this
-    # is a once-per-sweep verification contract and the modulus must
-    # be a literal to mirror the oracle's integer arithmetic exactly.
-    stratum = linear_modulus(docs.count(), TRUTH_DOC_CAP)
+    # Deterministic sampled-exact stratum (see docstring): the corpus
+    # size comes from parquet footer metadata (exact == COUNT(*), no
+    # Spark job); the modulus must be a literal to mirror the oracle's
+    # integer arithmetic exactly.
+    stratum = linear_modulus(table_rows(sf_dir, "documents"), TRUTH_DOC_CAP)
     # at S == 1 skip the no-op filters so shipped-lake plans are
     # byte-identical to the historical form
     docs_t = docs if stratum == 1 else docs.filter(
@@ -662,9 +665,9 @@ def embedding_lsh_neardup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_imdb_data_pipeline_spark.plans.registry import REGISTRY
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # one tiny count job at plan time — the documented-eager stratum
-    # pattern (see dedup_minhash_check)
-    stratum = linear_modulus(emb.count(), TRUTH_VEC_CAP)
+    # footer-metadata corpus size — the documented-eager stratum
+    # pattern (see dedup_minhash_check), now without the Spark job
+    stratum = linear_modulus(table_rows(sf_dir, "embeddings"), TRUTH_VEC_CAP)
     truth = REGISTRY["embedding_near_dup"].fn(spark, sf_dir)
     lsh = REGISTRY["embedding_near_dup_lsh"].fn(spark, sf_dir)
     if stratum > 1:  # no-op filters skipped at S == 1 (plan parity)

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
+from aws_imdb_data_pipeline_spark.sources.tables import (
+    load_table,
+    maybe_broadcast,
+    table_rows,
+)
 
 # Shared oracle prefix: DuckDB rebuilds partsupp with the same integer
 # arithmetic (generate_series fan-out == the Spark explode).
@@ -56,7 +60,9 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis fuses into the part scan) and derive keys/qty/cost with
     the integer formulas above. The supplier count is read driver-side
     once (the supplier table is dimension-sized at any SF)."""
-    n_supp = load_table(spark, sf_dir, "supplier").count()
+    # footer-metadata count (exact == COUNT(*)): no Spark job at
+    # construction time
+    n_supp = table_rows(sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part").select("p_partkey")
     sk = (F.col("ps_partkey") * 4 + F.col("k")) % n_supp
     return part.select(

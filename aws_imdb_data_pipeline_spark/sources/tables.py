@@ -164,6 +164,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (lake path, table, layout stat) -> exact row count. The layout stat
+# (mtime_ns, size of the file or dir) invalidates on any rewrite.
+_TABLE_ROWS_CACHE: dict[tuple, int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of one lake table from parquet FOOTER metadata —
+    num_rows is exact by format contract (it is what COUNT(*) over the
+    scan returns), so driver-side "how big is this table" decisions
+    (verification strata moduli, synthetic-key domains) cost a footer
+    read instead of a full-scan Spark count job per query
+    construction. Handles both single-file tables and partitioned
+    dirs. Raises OSError when the table is absent (same failure the
+    scan would hit)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    key = (os.path.abspath(sf_dir), name, st.st_mtime_ns, st.st_size)
+    hit = _TABLE_ROWS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if os.path.isfile(path):
+        total = pq.ParquetFile(path).metadata.num_rows
+    else:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    _TABLE_ROWS_CACHE[key] = total
+    return total
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view so ``spark.sql`` text queries
     (the reference's SQL dialect surface) run against the same data."""

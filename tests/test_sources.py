@@ -354,3 +354,17 @@ def test_load_table_memoizes_relation_per_application(spark, sf_dir):
     e2 = load_table(spark, sf_dir, "events")
     assert e1 is e2
     assert dict(e1.dtypes)["ts"] == "timestamp"
+
+
+def test_table_rows_matches_count(spark, sf_dir):
+    """table_rows reads parquet footer metadata — exact by format
+    contract, so it must equal COUNT(*) over the scan for every lake
+    table (single-file and partitioned layouts alike)."""
+    from aws_imdb_data_pipeline_spark.sources.tables import (
+        TABLES,
+        load_table,
+        table_rows,
+    )
+
+    for t in TABLES:
+        assert table_rows(sf_dir, t) == load_table(spark, sf_dir, t).count()
