@@ -913,7 +913,7 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = REGISTRY["dedup_incremental_near"].fn(spark, sf_dir)
     shift = docs.agg((F.max("doc_id") + 1).alias("__s"))
     expected = (
-        _recrawl_batch(docs)
+        _recrawl_batch(docs, sf_dir)
         .crossJoin(F.broadcast(shift))
         .select(
             F.col("doc_id").alias("new_id"),

@@ -36,7 +36,10 @@ from aws_imdb_data_pipeline_spark.plans.fingerprints import (
     pinned_case_oracle,
 )
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import (
+    load_table,
+    table_col_max,
+)
 
 # Shipped-lake fingerprint keys for the build digests below, in
 # (sf0.001, sf0.01, sf0.1) order.
@@ -1291,8 +1294,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECRAWL_PRED = "doc_id % 7 = 0"
 
 
-def _recrawl_batch(docs: DataFrame) -> DataFrame:
-    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+def _recrawl_batch(docs: DataFrame, sf_dir: str) -> DataFrame:
+    # exact MAX from row-group statistics when available (no Spark job
+    # at construction); the scan aggregate is the fallback fact
+    mx = table_col_max(sf_dir, "documents", "doc_id")
+    shift = (
+        mx if mx is not None else docs.agg(F.max("doc_id")).first()[0]
+    ) + 1
     return docs.filter(F.expr(_RECRAWL_PRED)).select(
         (F.col("doc_id") + F.lit(shift)).alias("doc_id"), "text"
     )
@@ -1329,7 +1337,7 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("text").alias("__fp"),
         F.col("text").alias("__ct"),
     )
-    batch = _recrawl_batch(docs).select(
+    batch = _recrawl_batch(docs, sf_dir).select(
         F.col("doc_id").alias("new_doc_id"),
         F.xxhash64("text").alias("__fp"),
         F.col("text").alias("__bt"),
@@ -1393,7 +1401,7 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_band_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return incremental_near_dup_pairs(
-        _recrawl_batch(docs), docs, path, "doc_id", "text", threshold=0.8
+        _recrawl_batch(docs, sf_dir), docs, path, "doc_id", "text", threshold=0.8
     ).select(
         "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
     )

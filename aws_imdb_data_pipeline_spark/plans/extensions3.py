@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 
 from aws_imdb_data_pipeline_spark.operators.topk import top_n_per_group
 from aws_imdb_data_pipeline_spark.plans.registry import register
-from aws_imdb_data_pipeline_spark.sources.tables import load_table, maybe_broadcast
+from aws_imdb_data_pipeline_spark.sources.tables import (
+    load_table,
+    maybe_broadcast,
+    table_col_max,
+)
 
 # span-operator parameters, shared by the two registered queries and
 # the hot-shingle artifact fingerprint (any change rebuilds the set)
@@ -31,7 +35,11 @@ def _augmented_span_docs(
     the shift is a bounded one-row scalar (disjoint id namespace) —
     the same plan-time-decision shape as the PQ probed-cell collect."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    # exact MAX from row-group statistics when available (no Spark job)
+    mx = table_col_max(sf_dir, "documents", "doc_id")
+    shift = (
+        mx if mx is not None else docs.agg(F.max("doc_id")).first()[0]
+    ) + 1
     excerpt = docs.filter(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
         F.array_join(F.slice(F.split("text", " "), 5, 20), " ").alias("text"),
@@ -434,9 +442,12 @@ def dedup_truncated_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against missing shorter prefixes (documented, same trade as
     shingle width)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # bounded one-row scalar (disjoint id namespace) — the same
-    # plan-time-decision shape as the PQ probed-cell collect
-    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    # bounded one-row scalar (disjoint id namespace); exact MAX from
+    # row-group statistics when available (no Spark job)
+    mx = table_col_max(sf_dir, "documents", "doc_id")
+    shift = (
+        mx if mx is not None else docs.agg(F.max("doc_id")).first()[0]
+    ) + 1
     trunc = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
         F.array_join(F.slice(F.split("text", " "), 1, 20), " ").alias("text"),
@@ -507,9 +518,12 @@ def crawl_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_imdb_data_pipeline_spark.extensions.corpus import crawl_diff
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # bounded one-row scalar (disjoint id namespace) — the same
-    # plan-time-decision shape as the PQ probed-cell collect
-    shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    # bounded one-row scalar (disjoint id namespace); exact MAX from
+    # row-group statistics when available (no Spark job)
+    mx = table_col_max(sf_dir, "documents", "doc_id")
+    shift = (
+        mx if mx is not None else docs.agg(F.max("doc_id")).first()[0]
+    ) + 1
     nxt = (
         docs.filter(F.col("doc_id") % 17 != 0)
         .select(

@@ -15,7 +15,10 @@ from aws_imdb_data_pipeline_spark.plans.strata import (
     quadratic_modulus,
     quadratic_modulus_sql,
 )
-from aws_imdb_data_pipeline_spark.sources.tables import load_table
+from aws_imdb_data_pipeline_spark.sources.tables import (
+    load_table,
+    table_col_max,
+)
 
 # Self-retrieval query batches are capped by the strata law (see
 # plans/strata.py): on every shipped lake and the sf1 sweep the
@@ -201,9 +204,12 @@ def dedup_exact_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    # bounded one-row scalar (disjoint id namespace) — the same
-    # plan-time-decision shape as the span queries' shift
-    shift = base.agg(F.max("doc_id")).first()[0] + 1
+    # bounded one-row scalar (disjoint id namespace); exact MAX from
+    # row-group statistics when available (no Spark job)
+    mx = table_col_max(sf_dir, "documents", "doc_id")
+    shift = (
+        mx if mx is not None else base.agg(F.max("doc_id")).first()[0]
+    ) + 1
     docs = base.unionByName(
         base.filter(F.col("doc_id") % 9 == 0).select(
             (F.col("doc_id") + F.lit(shift)).alias("doc_id"),

@@ -53,14 +53,41 @@ DUCK_EMB_FP = """
 """
 
 
+# (applicationId, lake path, layout stat) -> fingerprint. The value is
+# a pure function of the table's CONTENT, and the layout stat
+# (mtime_ns, size) invalidates on any rewrite — so the memo never
+# serves a stale fingerprint, it only stops every digest-pinned query
+# construction from re-running the same full-table aggregate job
+# (one eager job per construction, several digest queries per sweep).
+_FP_CACHE: dict[tuple, int] = {}
+
+
 def embeddings_fingerprint(spark: SparkSession, sf_dir: str) -> int:
     """The exact content fingerprint of the lake's embeddings table."""
-    return (
+    import os
+
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _FP_CACHE:
+        return _FP_CACHE[key]
+    fp = (
         load_table(spark, sf_dir, "embeddings")
         .agg(F.expr(SPARK_EMB_FP).alias("f"))
         .first()
         .f
     )
+    if key is not None:
+        _FP_CACHE[key] = fp
+    return fp
 
 
 def pinned_case_oracle(

@@ -199,6 +199,45 @@ def table_rows(sf_dir: str, name: str) -> int:
     return total
 
 
+def table_col_max(sf_dir: str, name: str, col: str):
+    """Exact MAX of one column from parquet row-group statistics —
+    integer min/max stats are exact (format truncation applies only to
+    long binary/string values, which this helper refuses), and MAX()
+    ignores NULLs exactly as the stats do. Returns None when any
+    row group lacks statistics for the column (callers fall back to
+    the scan aggregate) or when the table is all-NULL/empty on it."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    best = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+        except KeyError:
+            return None
+        if md.schema.column(idx).physical_type not in ("INT32", "INT64"):
+            return None  # only exact-stat types
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            if st.num_values == 0:
+                continue
+            if best is None or st.max > best:
+                best = st.max
+    return best
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each table as a temp view so ``spark.sql`` text queries
     (the reference's SQL dialect surface) run against the same data."""

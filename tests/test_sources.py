@@ -368,3 +368,23 @@ def test_table_rows_matches_count(spark, sf_dir):
 
     for t in TABLES:
         assert table_rows(sf_dir, t) == load_table(spark, sf_dir, t).count()
+
+
+def test_table_col_max_matches_scan_max(spark, sf_dir):
+    """table_col_max reads exact integer row-group statistics; it must
+    equal MAX() over the scan, and return None (fall back to the scan
+    aggregate) for unsupported types or absent columns."""
+    from pyspark.sql import functions as F
+
+    from aws_imdb_data_pipeline_spark.sources.tables import (
+        load_table,
+        table_col_max,
+    )
+
+    got = table_col_max(sf_dir, "documents", "doc_id")
+    want = load_table(spark, sf_dir, "documents").agg(
+        F.max("doc_id")
+    ).first()[0]
+    assert got == want
+    assert table_col_max(sf_dir, "documents", "text") is None  # BYTE_ARRAY
+    assert table_col_max(sf_dir, "documents", "no_such_col") is None
