@@ -102,9 +102,18 @@ def train_pq(
 
 
 def _codebook_lit(codebook_j: list[list[float]]) -> Column:
-    # literal array<array<double>> of the k centroids of one subspace
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in codebook_j]
+    # literal array<array<double>> of the k centroids of one subspace,
+    # parsed from ONE SQL string: repr() round-trips IEEE doubles
+    # exactly (shortest decimal repr -> Double.parseDouble is the
+    # identity), and the F.lit form cost ~k*dim py4j round-trips per
+    # subspace at construction time (~1 s per PQ serve construction)
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in codebook_j
+        )
+        + ")"
     )
 
 

@@ -71,6 +71,30 @@ def bm25_corpus(
     return tf, dfreq, stats
 
 
+def bm25_qterms(
+    queries: DataFrame, qid_col: str = "query_id", qtext_col: str = "qtext"
+) -> DataFrame:
+    """Distinct (query, term) pairs — the qtf=1 convention shared by
+    bm25_scores and the candidate estimate."""
+    return queries.select(
+        F.col(qid_col), F.explode(_tokens(qtext_col)).alias("__t")
+    ).distinct()
+
+
+def bm25_candidate_rows(qterms: DataFrame, dfreq: DataFrame) -> int:
+    """The exact candidate-row count of the BM25 posting join
+    (Σ over distinct (query, term) of df(term)) — the plan-time fact
+    bm25_scores' adaptive pre-aggregate shuffle keys on. Exposed so
+    serve paths can compute it once per (corpus, query set) and pass
+    ``cand_rows`` instead of re-running the vocabulary-sized job per
+    construction. One sub-second aggregate."""
+    return (
+        qterms.join(dfreq.select("__t", "__df"), "__t")
+        .agg(F.sum("__df"))
+        .first()[0]
+    ) or 0
+
+
 def bm25_scores(
     tf: DataFrame,
     dfreq: DataFrame,
@@ -101,9 +125,7 @@ def bm25_scores(
     threshold pins the pre-shuffle plan. None (default) estimates it
     with the one sub-second aggregate, the right call for ad-hoc use
     where an unbounded explosion is worse than an eager job."""
-    qterms = queries.select(
-        F.col(qid_col), F.explode(_tokens(qtext_col)).alias("__t")
-    ).distinct()
+    qterms = bm25_qterms(queries, qid_col, qtext_col)
     posting = tf.join(dfreq, "__t")
     if isinstance(stats, DataFrame):
         posting = posting.crossJoin(F.broadcast(stats))
@@ -146,11 +168,7 @@ def bm25_scores(
     # classic broadcast-join + partial-agg form (the estimate costs
     # one sub-second vocabulary-frame job).
     if cand_rows is None:
-        cand_rows = (
-            qterms.join(dfreq.select("__t", "__df"), "__t")
-            .agg(F.sum("__df"))
-            .first()[0]
-        ) or 0
+        cand_rows = bm25_candidate_rows(qterms, dfreq)
     if cand_rows > pre_shuffle_threshold:
         n_parts = int(min(2000, max(32, cand_rows // 2_000_000)))
         joined = joined.repartition(
@@ -176,6 +194,7 @@ def bm25_topk(
     round_to: int = 4,
     corpus: tuple[DataFrame, DataFrame, tuple[int, float]] | None = None,
     exclude_self: bool = False,
+    cand_rows: int | None = None,
 ) -> DataFrame:
     """BM25 top-k documents per query —
     (qid_col, rank, id_col, score).
@@ -209,7 +228,7 @@ def bm25_topk(
     scored = bm25_scores(
         tf, dfreq, stats, queries,
         id_col=id_col, qid_col=qid_col, qtext_col=qtext_col,
-        k1=k1, b=b, round_to=round_to,
+        k1=k1, b=b, round_to=round_to, cand_rows=cand_rows,
     )
     if exclude_self:
         scored = scored.filter(F.col(qid_col) != F.col(id_col))
