@@ -18,6 +18,9 @@ the same banding idea as MinHash-LSH but for cosine space.
 
 from __future__ import annotations
 
+import math
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -556,11 +559,40 @@ def semantic_dedup(
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col("__arr").alias("__vb"), "__list"
     )
+    # The per-cell self-join's parallelism ceiling is the number of
+    # distinct cell ids (n_lists) — byte-based AQE coalescing cannot
+    # widen a 16-key exchange past 16 tasks however compute-dense the
+    # per-cell pairwise cosine is, and at scale per-cell populations
+    # grow with the corpus. Salt the probe side with a deterministic
+    # id-hash chunk and replicate the build side once per chunk: the
+    # pair set is exactly unchanged (each (x, y) meets at x's chunk
+    # only), per-task pair work drops by the chunk count, and the only
+    # added cost is chunk-count copies of the (tiny) per-cell vectors
+    # through the exchange. Chunks derive from session parallelism
+    # (scale-adaptive, not a local[32] constant); 1 on narrow sessions
+    # keeps the classic plan.
+    width = assigned.sparkSession.sparkContext.defaultParallelism
+    chunks = int(os.environ.get("SPARK_GRAFT_CELL_SALT_CHUNKS", "0")) or max(
+        1, math.ceil(2 * width / max(n_lists, 1))
+    )
+    join_keys = ["__list"]
+    if chunks > 1:
+        a = a.withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64(F.col("id_a")), F.lit(chunks)).cast("int"),
+        )
+        b = b.withColumn(
+            "__chunk",
+            F.explode(
+                F.array(*[F.lit(i).cast("int") for i in range(chunks)])
+            ),
+        )
+        join_keys = ["__list", "__chunk"]
     na = F.sqrt(_dot(F.col("__va"), F.col("__va")))
     nb = F.sqrt(_dot(F.col("__vb"), F.col("__vb")))
     cos = _dot(F.col("__va"), F.col("__vb")) / (na * nb)
     pairs = (
-        a.join(b, "__list")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("__cos"))
         .filter(F.col("__cos") >= threshold)

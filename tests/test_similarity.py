@@ -478,6 +478,41 @@ def test_semantic_dedup_planted_twins(spark):
     assert again == by_id
 
 
+def test_semantic_dedup_salt_invariant(spark, monkeypatch):
+    """The per-cell self-join salt (chunked probe side, replicated
+    build side) is a pure parallelism change: any chunk count yields
+    the identical (id, component, is_survivor) set as the unsalted
+    plan, because each (x, y) pair still meets exactly once (at x's
+    chunk) and the per-pair cosine arithmetic is untouched."""
+    import random
+
+    from aws_imdb_data_pipeline_spark.extensions.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        rows.append((i + 1000, [x + rng.gauss(0, 0.005) for x in v]))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def run(chunks: str):
+        monkeypatch.setenv("SPARK_GRAFT_CELL_SALT_CHUNKS", chunks)
+        return {
+            r.id: (r.component, r.is_survivor)
+            for r in semantic_dedup(
+                vecs, "vec_id", "embedding", threshold=0.98, n_lists=4
+            ).collect()
+        }
+
+    unsalted = run("1")
+    assert len(unsalted) == 240
+    for chunks in ("3", "8"):
+        assert run(chunks) == unsalted
+
+
 def test_cluster_balanced_sample_cap_and_determinism(spark, sf_dir):
     """Every cell is capped (n_after == min(n_before, cap)), kept ids
     are a subset of the cell's members, and the sample is identical
